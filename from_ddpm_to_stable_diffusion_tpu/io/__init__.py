@@ -1,0 +1,4 @@
+"""Host I/O: tokenizers, weight import, data pipelines."""
+
+from .data import (IMAGENET_MEANS, IMAGENET_STDS, DataLoader,
+                   ImageFolderDataset, SyntheticImageDataset, denormalize)

@@ -1,0 +1,99 @@
+"""Attention primitives.
+
+One functional entry point, :func:`dot_product_attention`, dispatches between
+the XLA path (always available, any backend) and the Pallas TPU flash kernel
+(:mod:`.flash_attention`) when shapes are tile-friendly and we are on TPU.
+
+This is the TPU-native replacement for every attention in the reference:
+- hand-rolled softmax attention  01_.../stable_diffusion_pytorch/attention.py:7-70
+- SDPA wrapper                   02_stable_diffusion-3/utils.py:11-17
+- SigLIP manual attention        05_clip/model_siglip.py:78-139
+
+Convention: q, k, v are (batch, num_heads, seq, head_dim); optional additive
+``bias`` broadcastable to (batch, heads, q_len, kv_len); ``causal`` applies a
+lower-triangular mask. Softmax accumulates in fp32 regardless of input dtype
+(bf16-in / bf16-out with fp32 logits is the TPU policy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, bias, causal: bool, scale: float):
+    # fp32 inputs mean the caller wants true fp32 math — stop XLA's default
+    # bf16 downcast on the MXU. bf16 inputs ride the native MXU path.
+    precision = (jax.lax.Precision.HIGHEST
+                 if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=precision) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        q_len, k_len = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k_len - q_len)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)
+
+
+def _flash_eligible(q, k, v, bias) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    q_len, k_len = q.shape[-2], k.shape[-2]
+    # Short sequences (text encoders, 77 tokens) are faster through plain XLA
+    # fused attention; long spatial/joint sequences need the flash kernel.
+    return q_len >= 512 and k_len >= 512
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over (B, H, L, D) tensors."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_flash is None:
+        use_flash = _flash_eligible(q, k, v, bias)
+    if use_flash:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias, causal=causal, scale=scale)
+    return _xla_attention(q, k, v, bias, causal, scale)
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, L, H·D) -> (B, H, L, D)."""
+    b, l, hd = x.shape
+    return x.reshape(b, l, num_heads, hd // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, L, D) -> (B, L, H·D)."""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def multi_head_attention(
+    q, k, v, num_heads: int, bias=None, causal: bool = False, **kw
+) -> jax.Array:
+    """Attention over (B, L, D_model) activations with head split/merge."""
+    out = dot_product_attention(
+        split_heads(q, num_heads),
+        split_heads(k, num_heads),
+        split_heads(v, num_heads),
+        bias=bias,
+        causal=causal,
+        **kw,
+    )
+    return merge_heads(out)

@@ -1,0 +1,254 @@
+"""Pallas TPU flash attention with a memory-bounded custom VJP.
+
+The framework's hot kernel: replaces materialized (Lq, Lk) logits with an
+online-softmax accumulation over key blocks held in VMEM, so HBM traffic is
+O(L·D) instead of O(L²). Covers every attention in the model zoo: UNet/VAE
+spatial self-attention (4096 tokens at 64²), MMDiT joint attention
+(154+4096 tokens), cross attention, causal CLIP text, and T5 with additive
+relative-position bias.
+
+Layout: q (B, H, Lq, D), k/v (B, H, Lk, D); optional additive ``bias``
+broadcastable to (B, H, Lq, Lk). Logits/softmax accumulate in fp32; inputs
+may be bf16. Sequence lengths are padded to block multiples in the wrapper;
+padded keys are masked inside the kernel by global column index.
+
+Backward: recompute-based, scanned over key blocks in XLA (per-step memory
+O(Lq·block_k)); forward saves only (out, lse) — the flash residual contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref,
+                *, scale, causal, lk_actual, block_q, block_k, n_k):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    # Static True when not causal; traced predicate skips blocks strictly
+    # above the diagonal when causal.
+    run = (k_start <= q_start + block_q - 1) if causal else True
+
+    # fp32 inputs ask for true fp32 math (parity/tests); bf16 rides the MXU.
+    mxu_precision = (jax.lax.Precision.HIGHEST
+                     if q_ref.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        col = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = col < lk_actual
+        if causal:
+            row = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+            l_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(safe_l),
+                                      lse_ref.shape[1:])
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = _cdiv(size, mult) * mult - size
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
+               interpret=False):
+    """Returns (out (B,H,Lq,D), lse (B,H,Lq) fp32)."""
+    b, h, lq, d_orig = q.shape
+    lk = k.shape[2]
+    block_q = min(block_q, _cdiv(lq, 128) * 128)
+    block_k = min(block_k, _cdiv(lk, 128) * 128)
+    # Lane-align head_dim: zero-padded d columns change neither logits nor
+    # the (sliced) output. ``scale`` already reflects the original d.
+    qp = _pad_to(_pad_to(q.reshape(b * h, lq, d_orig), 2, 128), 1, block_q)
+    kp = _pad_to(_pad_to(k.reshape(b * h, lk, d_orig), 2, 128), 1, block_k)
+    vp = _pad_to(_pad_to(v.reshape(b * h, lk, d_orig), 2, 128), 1, block_k)
+    d = qp.shape[-1]
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
+    n_q, n_k = lq_p // block_q, lk_p // block_k
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+    ]
+    args = [qp, kp, vp]
+    has_bias = bias is not None
+    if has_bias:
+        bias = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
+        bias = _pad_to(_pad_to(bias, 1, block_q), 2, block_k)
+        in_specs.append(pl.BlockSpec((1, block_q, block_k),
+                                     lambda bh, iq, ik: (bh, iq, ik)))
+        args.append(bias)
+
+    body = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, lk_actual=lk,
+        block_q=block_q, block_k=block_k, n_k=n_k)
+    if has_bias:
+        kernel = body
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m, l):
+            body(q_ref, k_ref, v_ref, None, o_ref, lse_ref, acc, m, l)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b * h, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    out = out[:, :lq, :d_orig].reshape(b, h, lq, d_orig)
+    lse = lse[:, :lq, 0].reshape(b, h, lq)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def flash_attention(q, k, v, bias=None, causal: bool = False,
+                    scale: Optional[float] = None,
+                    block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False):
+    """Flash attention over (B, H, L, D); returns (B, H, Lq, D)."""
+    out, _ = _flash_fwd(q, k, v, bias, causal,
+                        q.shape[-1] ** -0.5 if scale is None else scale,
+                        block_q, block_k, interpret)
+    return out
+
+
+def _vjp_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
+    out, lse = _flash_fwd(q, k, v, bias, causal,
+                          q.shape[-1] ** -0.5 if scale is None else scale,
+                          block_q, block_k, interpret)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _vjp_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    """Scanned recompute backward: per-step memory O(Lq·block_k)."""
+    q, k, v, bias, out, lse = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qf = q.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)  # (B,H,Lq)
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    ein = functools.partial(jnp.einsum, precision=prec,
+                            preferred_element_type=jnp.float32)
+
+    bk = min(block_k, lk)
+    n_k = _cdiv(lk, bk)
+    lk_p = n_k * bk
+    kp = _pad_to(k.astype(jnp.float32), 2, bk)
+    vp = _pad_to(v.astype(jnp.float32), 2, bk)
+    bias_b = None
+    if bias is not None:
+        bias_b = _pad_to(jnp.broadcast_to(bias, (b, h, lq, lk)), 3, bk)
+
+    row = jnp.arange(lq)[:, None]
+
+    def body(dq, ik):
+        ks = ik * bk
+        kb = jax.lax.dynamic_slice_in_dim(kp, ks, bk, axis=2)
+        vb = jax.lax.dynamic_slice_in_dim(vp, ks, bk, axis=2)
+        s = ein("bhqd,bhkd->bhqk", qf, kb) * scale
+        if bias_b is not None:
+            s = s + jax.lax.dynamic_slice_in_dim(bias_b, ks, bk, axis=3)
+        col = ks + jnp.arange(bk)[None, :]
+        mask = col < lk
+        if causal:
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[..., None])
+        dv_b = ein("bhqk,bhqd->bhkd", p, gf)
+        dp = ein("bhqd,bhkd->bhqk", gf, vb)
+        ds = p * (dp - delta[..., None])
+        dq = dq + ein("bhqk,bhkd->bhqd", ds, kb) * scale
+        dk_b = ein("bhqk,bhqd->bhkd", ds, qf) * scale
+        return dq, (dk_b, dv_b, ds if bias_b is not None else jnp.zeros(()))
+
+    dq0 = jnp.zeros_like(qf)
+    dq, (dk_blocks, dv_blocks, ds_blocks) = jax.lax.scan(
+        body, dq0, jnp.arange(n_k))
+    # (n_k, B, H, bk, D) -> (B, H, Lk, D)
+    dk = jnp.moveaxis(dk_blocks, 0, 3).reshape(b, h, lk_p, d)[:, :, :lk]
+    dv = jnp.moveaxis(dv_blocks, 0, 3).reshape(b, h, lk_p, d)[:, :, :lk]
+    dbias = None
+    if bias is not None:
+        db = jnp.moveaxis(ds_blocks, 0, 4).reshape(b, h, lq, lk_p)[..., :lk]
+        for ax in range(2):
+            if bias.shape[ax] == 1:
+                db = db.sum(axis=ax, keepdims=True)
+        dbias = db.astype(bias.dtype)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias)
+
+
+flash_attention.defvjp(_vjp_fwd, _vjp_bwd)

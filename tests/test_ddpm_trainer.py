@@ -1,0 +1,65 @@
+"""End-to-end tiny-DDPM training smoke tests on the fake 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from from_ddpm_to_stable_diffusion_tpu.io import DataLoader, SyntheticImageDataset
+from from_ddpm_to_stable_diffusion_tpu.parallel import build_mesh
+from from_ddpm_to_stable_diffusion_tpu.pipelines.ddpm_trainer import DDPMTrainer
+from from_ddpm_to_stable_diffusion_tpu.utils.config import TinySDConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return TinySDConfig(
+        epoch=2, batch_size=8, img_size=16, img_channel=3, num_class=3,
+        T=10, channel=32, channel_multy=[1, 2, 2, 2], dropout=0.0,
+        lr=1e-4, max_lr=1e-3, warmup_epochs=1, train_rand=0.1, w=1.8,
+        dtype="fp32", seed=0)
+
+
+def test_train_smoke_loss_decreases(tiny_cfg, devices8):
+    mesh = build_mesh({"data": 8}, devices8)
+    trainer = DDPMTrainer(tiny_cfg, mesh=mesh)
+    ds = SyntheticImageDataset(n=32, img_size=16, num_classes=3)
+    loader = DataLoader(ds, batch_size=8, seed=0)
+    import jax
+
+    state = trainer.create_state(steps_per_epoch=len(loader))
+    rng = jax.random.key(1)
+    losses = []
+    for _ in range(2):
+        for images, labels in loader:
+            state, loss = trainer.train_step(state, images, labels, rng)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # loss trends down over 8 steps of memorizing 32 images
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_sampling_shape_and_range(tiny_cfg, devices8):
+    mesh = build_mesh({"data": 8}, devices8)
+    trainer = DDPMTrainer(tiny_cfg, mesh=mesh)
+    state = trainer.create_state(steps_per_epoch=4)
+    out = trainer.sample(state, labels=np.asarray([1, 2, 3, 1, 2, 3, 1, 2]))
+    a = np.asarray(out)
+    assert a.shape == (8, 16, 16, 3)
+    assert np.all(np.isfinite(a)) and a.min() >= -1 and a.max() <= 1
+
+
+def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
+    import jax
+
+    trainer = DDPMTrainer(tiny_cfg)
+    state = trainer.create_state(steps_per_epoch=4)
+    from from_ddpm_to_stable_diffusion_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, jax.device_get(state))
+    restored, step = mgr.restore(template=jax.device_get(state))
+    assert step == 0
+    orig = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    back = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()

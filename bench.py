@@ -1,9 +1,11 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline (round 1): tiny-SD (stage 06) training throughput at the reference
-op point — 64×64, batch 32, base channel 128, bf16 compute — in imgs/sec on
-one TPU chip. The reference publishes no numbers (BASELINE.md: published={}),
-so ``vs_baseline`` is reported as null; the absolute number is the contract.
+Headline: SD1 per-denoise-step latency at the reference's north-star op
+point (512×512, CFG ×2 batch, bf16, flash attention) on one TPU chip —
+BASELINE.md's primary self-measured target. Secondary: tiny-SD (stage 06)
+training throughput at its reference op point (64×64, bs 32). The reference
+publishes no numbers (BASELINE.json published={}), so ``vs_baseline`` is
+null; the absolute numbers are the contract.
 
 Extra diagnostics go to stderr; stdout carries exactly one JSON line.
 """
@@ -17,6 +19,9 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fdsd_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench_tiny_sd_train(iters: int = 20, warmup: int = 3):
@@ -53,15 +58,67 @@ def bench_tiny_sd_train(iters: int = 20, warmup: int = 3):
     return imgs_per_sec, step_ms
 
 
+def bench_sd1_denoise_step(iters: int = 10, warmup: int = 2):
+    """SD1 north-star: one CFG denoise step (UNet fwd ×2-batch + k-LMS
+    update) at 512×512, bf16, flash attention."""
+    import functools
+
+    from from_ddpm_to_stable_diffusion_tpu.models.sd1 import SD1UNet
+    from from_ddpm_to_stable_diffusion_tpu.ops.embeddings import sd1_time_embedding
+
+    unet = SD1UNet(dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 64, 4), jnp.float32)
+    ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
+    t = jnp.zeros((1, 320))
+    params = jax.jit(unet.init)(jax.random.key(0), x, ctx[:1], t)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    print(f"[bench] SD1 UNet params: {n_params:,}", file=sys.stderr)
+
+    coeff = jnp.float32(0.1)
+
+    @jax.jit
+    def denoise_step(params, latents, timestep):
+        t_feat = sd1_time_embedding(timestep[None])
+        xx = jnp.concatenate([latents, latents], axis=0)
+        tt = jnp.broadcast_to(t_feat, (2, 320))
+        out = unet.apply(params, xx, ctx, tt)
+        cond, uncond = jnp.split(out, 2, axis=0)
+        eps = uncond + 7.5 * (cond - uncond)
+        return latents + coeff * eps  # stand-in sampler update
+
+    latents = jax.random.normal(jax.random.key(1), (1, 64, 64, 4))
+    t0 = time.perf_counter()
+    for i in range(warmup):
+        latents = denoise_step(params, latents, jnp.float32(999 - i))
+    jax.block_until_ready(latents)
+    print(f"[bench] sd1 warmup+compile: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        latents = denoise_step(params, latents, jnp.float32(900 - i))
+    jax.block_until_ready(latents)
+    step_ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"[bench] sd1 denoise step: {step_ms:.1f} ms "
+          f"({1000.0 / (step_ms * 50):.3f} imgs/sec at 50 steps)",
+          file=sys.stderr)
+    return step_ms
+
+
 def main():
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    sd1_step_ms = bench_sd1_denoise_step()
     imgs_per_sec, step_ms = bench_tiny_sd_train()
     print(json.dumps({
-        "metric": "tiny_sd_train_imgs_per_sec_per_chip_64px_bs32_bf16",
-        "value": round(imgs_per_sec, 2),
-        "unit": "imgs/sec/chip",
+        "metric": "sd1_denoise_step_ms_512px_cfg_bf16",
+        "value": round(sd1_step_ms, 2),
+        "unit": "ms/step",
         "vs_baseline": None,
-        "extra": {"step_ms": round(step_ms, 2)},
+        "extra": {
+            "sd1_imgs_per_sec_50step": round(1000.0 / (sd1_step_ms * 50), 4),
+            "tiny_sd_train_imgs_per_sec": round(imgs_per_sec, 2),
+            "tiny_sd_train_step_ms": round(step_ms, 2),
+        },
     }))
 
 

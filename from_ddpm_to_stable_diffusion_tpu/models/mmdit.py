@@ -1,0 +1,262 @@
+"""MMDiT — the SD3 multimodal diffusion transformer (stage 02 capability).
+
+TPU-native re-design of /root/reference/02_stable_diffusion-3/mmdit.py:
+- PatchEmbed conv k=p (mmdit.py:9-49), learned pos-embed grid center-cropped
+  for variable resolution (:496-515), timestep + pooled-vector embedders
+  (:58-112), adaLN "dismantled" blocks with 6-way (or pre_only 2-way)
+  modulation (:267-349), JOINT attention: context and latent token streams
+  are projected separately, concatenated along the sequence, attended once,
+  then split back (block_mixing, :352-371) — here one flash-attention call
+  over the (154 + 4096)-token joint sequence. Final adaLN layer + einsum
+  unpatchify (:388-409, :517-535).
+- hidden = 64·depth, heads = depth (:451-453): head_dim is always 64.
+
+TPU-first choices: NHWC patchify, bf16 compute with fp32 modulation math,
+Pallas flash attention for the joint sequence, optional qk RMS/LN norm in
+fp32. The last joint block's context side is ``pre_only`` (contributes k/v
+only) exactly as the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+from ..ops.embeddings import crop_pos_embed, timestep_embedding
+from ..ops.groupnorm import layer_norm, rms_norm
+
+Dtype = Any
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation: x·(1+scale) + shift, per-batch (mmdit.py:52-55)."""
+    out = x * (1.0 + scale[:, None, :])
+    if shift is not None:
+        out = out + shift[:, None, :]
+    return out
+
+
+class MLPEmbedder(nn.Module):
+    """Dense → SiLU → Dense (TimestepEmbedder / VectorEmbedder MLP shape)."""
+
+    hidden_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.silu(x)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x)
+
+
+class QKNorm(nn.Module):
+    """Per-head-dim q/k normalization ('rms' | 'ln' | None)."""
+
+    kind: Optional[str]
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, L, H, D)
+        if self.kind is None:
+            return x
+        scale = self.param("scale", nn.initializers.ones, (self.head_dim,))
+        if self.kind == "rms":
+            return rms_norm(x, scale, eps=1e-6)
+        if self.kind == "ln":
+            bias = self.param("bias", nn.initializers.zeros, (self.head_dim,))
+            return layer_norm(x, scale, bias, eps=1e-6)
+        raise ValueError(self.kind)
+
+
+class DismantledBlock(nn.Module):
+    """adaLN DiT block split into pre_attention / post_attention halves."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    pre_only: bool = False
+    qk_norm: Optional[str] = None
+    scale_mod_only: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        hs = self.hidden_size
+        self.head_dim = hs // self.num_heads
+        self.qkv = nn.Dense(3 * hs, use_bias=self.qkv_bias, dtype=self.dtype,
+                            name="qkv")
+        self.ln_q = QKNorm(self.qk_norm, self.head_dim, name="ln_q")
+        self.ln_k = QKNorm(self.qk_norm, self.head_dim, name="ln_k")
+        if self.scale_mod_only:
+            n_mods = 1 if self.pre_only else 4
+        else:
+            n_mods = 2 if self.pre_only else 6
+        self.adaLN = nn.Dense(n_mods * hs, dtype=self.dtype, name="adaLN")
+        if not self.pre_only:
+            self.proj = nn.Dense(hs, dtype=self.dtype, name="proj")
+            mlp_hidden = int(hs * self.mlp_ratio)
+            self.mlp_fc1 = nn.Dense(mlp_hidden, dtype=self.dtype,
+                                    name="mlp_fc1")
+            self.mlp_fc2 = nn.Dense(hs, dtype=self.dtype, name="mlp_fc2")
+
+    def _mods(self, c):
+        m = self.adaLN(jax.nn.silu(c))
+        if self.pre_only:
+            if self.scale_mod_only:
+                return (None, m), None
+            shift, scale = jnp.split(m, 2, axis=-1)
+            return (shift, scale), None
+        if self.scale_mod_only:
+            s_msa, g_msa, s_mlp, g_mlp = jnp.split(m, 4, axis=-1)
+            return (None, s_msa), (g_msa, None, s_mlp, g_mlp)
+        sh_msa, s_msa, g_msa, sh_mlp, s_mlp, g_mlp = jnp.split(m, 6, axis=-1)
+        return (sh_msa, s_msa), (g_msa, sh_mlp, s_mlp, g_mlp)
+
+    def pre_attention(self, x, c):
+        """Returns ((q, k, v) each (B, L, H, D), residual_state)."""
+        (shift, scale), post_mods = self._mods(c)
+        h = layer_norm(x, None, None, eps=1e-6)
+        h = modulate(h, shift, scale)
+        qkv = self.qkv(h)
+        b, l, _ = qkv.shape
+        qkv = qkv.reshape(b, l, 3, self.num_heads, self.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = self.ln_q(q)
+        k = self.ln_k(k)
+        return (q, k, v), (x, post_mods)
+
+    def post_attention(self, attn_out, residual_state):
+        """attn_out: (B, L, hidden); applies gated residual + adaLN MLP."""
+        x, (g_msa, sh_mlp, s_mlp, g_mlp) = residual_state
+        x = x + g_msa[:, None, :] * self.proj(attn_out)
+        h = layer_norm(x, None, None, eps=1e-6)
+        h = modulate(h, sh_mlp, s_mlp)
+        h = self.mlp_fc1(h)
+        h = jax.nn.gelu(h, approximate=True)
+        h = self.mlp_fc2(h)
+        return x + g_mlp[:, None, :] * h
+
+    def __call__(self, x, c):
+        (q, k, v), (res_x, post_mods) = self.pre_attention(x, c)
+        out = dot_product_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3))
+        b, h, l, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+        return self.post_attention(out, (res_x, post_mods))
+
+
+class JointBlock(nn.Module):
+    """One MMDiT layer: context/x dismantled blocks sharing joint attention."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    context_pre_only: bool = False
+    qk_norm: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.context_block = DismantledBlock(
+            self.hidden_size, self.num_heads, self.mlp_ratio, self.qkv_bias,
+            pre_only=self.context_pre_only, qk_norm=self.qk_norm,
+            dtype=self.dtype)
+        self.x_block = DismantledBlock(
+            self.hidden_size, self.num_heads, self.mlp_ratio, self.qkv_bias,
+            pre_only=False, qk_norm=self.qk_norm, dtype=self.dtype)
+
+    def __call__(self, context, x, c):
+        ctx_qkv, ctx_state = self.context_block.pre_attention(context, c)
+        x_qkv, x_state = self.x_block.pre_attention(x, c)
+        lc = context.shape[1]
+        # joint sequence: (B, H, Lc+Lx, D) — one flash attention call
+        q, k, v = (jnp.concatenate([cq, xq], axis=1).transpose(0, 2, 1, 3)
+                   for cq, xq in zip(ctx_qkv, x_qkv))
+        out = dot_product_attention(q, k, v)
+        b, h, l, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+        ctx_attn, x_attn = out[:, :lc], out[:, lc:]
+        new_context = (None if self.context_pre_only
+                       else self.context_block.post_attention(ctx_attn,
+                                                              ctx_state))
+        new_x = self.x_block.post_attention(x_attn, x_state)
+        return new_context, new_x
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    patch_size: int = 2
+    in_channels: int = 16
+    depth: int = 24                    # hidden = 64·depth, heads = depth
+    mlp_ratio: float = 4.0
+    adm_in_channels: Optional[int] = 2048
+    context_dim: Optional[int] = 4096
+    pos_embed_max_size: int = 192
+    qk_norm: Optional[str] = None
+    qkv_bias: bool = True
+
+    @property
+    def hidden_size(self) -> int:
+        return 64 * self.depth
+
+
+class MMDiT(nn.Module):
+    config: MMDiTConfig = MMDiTConfig()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, y=None, context=None):
+        """x: (B, H, W, C) NHWC latent; t: (B,) timesteps; y: (B, adm)
+        pooled conditioning; context: (B, Lc, context_dim). Returns NHWC."""
+        cfg = self.config
+        hs = cfg.hidden_size
+        b, h, w, _ = x.shape
+        p = cfg.patch_size
+        hp, wp = h // p, w // p
+
+        # patchify: conv k=p s=p → (B, hp·wp, hidden)
+        xe = nn.Conv(hs, (p, p), strides=(p, p), padding="VALID",
+                     dtype=self.dtype, name="x_embedder")(x.astype(self.dtype))
+        xe = xe.reshape(b, hp * wp, hs)
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, cfg.pos_embed_max_size**2, hs))
+        xe = xe + crop_pos_embed(pos, cfg.pos_embed_max_size, hp,
+                                 wp).astype(xe.dtype)
+
+        t_freq = timestep_embedding(t, 256, dtype=self.dtype)
+        c = MLPEmbedder(hs, dtype=self.dtype, name="t_embedder")(t_freq)
+        if y is not None and cfg.adm_in_channels is not None:
+            c = c + MLPEmbedder(hs, dtype=self.dtype, name="y_embedder")(
+                y.astype(self.dtype))
+
+        if context is not None and cfg.context_dim is not None:
+            context = nn.Dense(hs, dtype=self.dtype,
+                               name="context_embedder")(
+                                   context.astype(self.dtype))
+
+        for i in range(cfg.depth):
+            context, xe = JointBlock(
+                hs, cfg.depth, cfg.mlp_ratio, cfg.qkv_bias,
+                context_pre_only=(i == cfg.depth - 1), qk_norm=cfg.qk_norm,
+                dtype=self.dtype, name=f"joint_block{i}")(context, xe, c)
+
+        # final adaLN layer → (B, L, p²·C)
+        m = nn.Dense(2 * hs, dtype=self.dtype, name="final_adaLN")(
+            jax.nn.silu(c))
+        shift, scale = jnp.split(m, 2, axis=-1)
+        xe = modulate(layer_norm(xe, None, None, eps=1e-6), shift, scale)
+        xe = nn.Dense(p * p * cfg.in_channels, dtype=self.dtype,
+                      name="final_linear")(xe)
+
+        # unpatchify → NHWC
+        xe = xe.reshape(b, hp, wp, p, p, cfg.in_channels)
+        xe = jnp.einsum("nhwpqc->nhpwqc", xe)
+        return xe.reshape(b, hp * p, wp * p,
+                          cfg.in_channels).astype(jnp.float32)

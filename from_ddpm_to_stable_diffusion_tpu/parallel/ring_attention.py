@@ -1,0 +1,120 @@
+"""Sequence-parallel attention over an ICI mesh axis: ring + Ulysses.
+
+The reference has no long-context machinery (SURVEY.md §5); these are the
+TPU-native mechanisms for scaling the MMDiT joint sequence (or video-length
+token streams) past one chip:
+
+- :func:`ring_attention` — K/V shards rotate around the mesh axis via
+  ``jax.lax.ppermute`` inside ``shard_map``; each hop computes a partial
+  flash attention of the local Q block against the visiting K/V block and
+  merges it with a numerically-stable log-sum-exp accumulation. Compute and
+  ICI transfer overlap across hops (XLA schedules the ppermute
+  asynchronously against the local matmuls).
+- :func:`ulysses_attention` — all-to-all re-shard seq→heads, one LOCAL full
+  attention per device over the whole sequence with H/N heads, all-to-all
+  back. One collective round instead of N−1 hops; needs heads % devices == 0.
+
+Both are exact (not approximations) — verified against single-device
+attention in tests on the fake 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import SEQ_AXIS
+
+
+def _attention_with_lse(q, k, v, scale):
+    """XLA attention returning (out, lse) — the per-block primitive."""
+    precision = (jax.lax.Precision.HIGHEST
+                 if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=precision) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", (p / l).astype(v.dtype), v,
+                     precision=precision)
+    lse = (m + jnp.log(l))[..., 0]  # (B, H, Lq)
+    return out, lse
+
+
+def _merge_partials(o1, lse1, o2, lse2):
+    """Combine two attention partial sums with their log-sum-exps."""
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.exp(lse1 - m)
+    w2 = jnp.exp(lse2 - m)
+    denom = w1 + w2
+    out = (o1 * (w1 / denom)[..., None].astype(o1.dtype)
+           + o2 * (w2 / denom)[..., None].astype(o2.dtype))
+    return out, m + jnp.log(denom)
+
+
+def ring_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    mesh: Mesh, axis: str = SEQ_AXIS,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Exact attention with q/k/v sharded on seq over ``axis`` of ``mesh``.
+
+    q, k, v: (B, H, L, D) global arrays (sharded or to-be-sharded on L).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis]
+    spec = P(None, None, axis, None)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec)
+    def inner(ql, kl, vl):
+        out, lse = _attention_with_lse(ql, kl, vl, scale)
+
+        def hop(carry, _):
+            out, lse, kb, vb = carry
+            kb = jax.lax.ppermute(kb, axis, perm)
+            vb = jax.lax.ppermute(vb, axis, perm)
+            o2, l2 = _attention_with_lse(ql, kb, vb, scale)
+            out, lse = _merge_partials(out, lse, o2, l2)
+            return (out, lse, kb, vb), None
+
+        (out, lse, _, _), _ = jax.lax.scan(hop, (out, lse, kl, vl),
+                                           jnp.arange(n - 1))
+        return out
+
+    return inner(q, k, v)
+
+
+def ulysses_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    mesh: Mesh, axis: str = SEQ_AXIS,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Exact attention via all-to-all head↔sequence re-sharding."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis]
+    h = q.shape[1]
+    assert h % n == 0, f"heads {h} must divide over axis size {n}"
+    spec = P(None, None, axis, None)
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec)
+    def inner(ql, kl, vl):
+        # local: (B, H, L/n, D) → all_to_all → (B, H/n, L, D)
+        a2a = functools.partial(jax.lax.all_to_all, axis_name=axis,
+                                split_axis=1, concat_axis=2, tiled=True)
+        qh, kh, vh = a2a(ql), a2a(kl), a2a(vl)
+        out, _ = _attention_with_lse(qh, kh, vh, scale)
+        # back: (B, H/n, L, D) → (B, H, L/n, D)
+        return jax.lax.all_to_all(out, axis_name=axis, split_axis=2,
+                                  concat_axis=1, tiled=True)
+
+    return inner(q, k, v)

@@ -1,0 +1,123 @@
+"""CLI smoke tests (tiny configs, synthetic data) + aux subsystem tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+def test_tiny_sd_cli_train_and_sample(tmp_path):
+    from from_ddpm_to_stable_diffusion_tpu.cli import tiny_sd
+
+    cfg = {
+        "epoch": 1, "batch_size": 8, "img_channel": 3, "img_size": 16,
+        "num_class": 3, "T": 5, "beta_1": 0.0015, "beta_T": 0.0195,
+        "channel": 32, "channel_multy": [1, 2, 2, 2], "dropout": 0.0,
+        "lr": 1.0e-4, "max_lr": 1.0e-3, "grad_clip": 1.0,
+        "train_rand": 0.05, "w": 1.8, "nrow": 4,
+        "model_dir": str(tmp_path / "ckpt"), "dtype": "fp32",
+        "warmup_epochs": 1,
+    }
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert tiny_sd.main(["train", "--config", str(cfg_path),
+                         "--synthetic", "--epochs", "1"]) == 0
+    out = tmp_path / "grid.png"
+    assert tiny_sd.main(["sample", "--config", str(cfg_path),
+                         "--ckpt", cfg["model_dir"], "--out", str(out),
+                         "--labels", "1,2,3,1"]) == 0
+    assert out.exists()
+
+
+def test_vae_cli_train(tmp_path):
+    from from_ddpm_to_stable_diffusion_tpu.cli import vae
+
+    assert vae.main(["train", "--model", "vqvae", "--synthetic",
+                     "--img-size", "32", "--batch-size", "8",
+                     "--epochs", "1", "--embedding-dim", "4",
+                     "--num-embeddings", "16",
+                     "--model-dir", str(tmp_path / "vae"),
+                     "--preview-dir", str(tmp_path / "previews")]) == 0
+    assert os.path.exists(tmp_path / "previews")
+
+
+def test_vit_cli_train(tmp_path):
+    from from_ddpm_to_stable_diffusion_tpu.cli import vit
+
+    assert vit.main(["train", "--synthetic", "--img-size", "16",
+                     "--patch-size", "8", "--batch-size", "8",
+                     "--epochs", "1",
+                     "--model-dir", str(tmp_path / "vit")]) == 0
+
+
+def test_sd1_cli_requires_prompt():
+    from from_ddpm_to_stable_diffusion_tpu.cli import sd1
+
+    with pytest.raises(SystemExit):
+        sd1.main(["generate"])  # missing --prompt
+
+
+def test_demos_gated_errors(tmp_path):
+    from from_ddpm_to_stable_diffusion_tpu.cli import demos
+
+    with pytest.raises(RuntimeError, match="REPLICATE_API_TOKEN"):
+        demos.replicate_run("ver", {}, api_token=None)
+    img = tmp_path / "x.bin"
+    img.write_bytes(b"abc")
+    uri = demos.encode_image_base64(str(img))
+    assert uri.startswith("data:application/octet-stream;base64,")
+
+
+def test_image_folder_dataset(tmp_path):
+    from PIL import Image
+
+    from from_ddpm_to_stable_diffusion_tpu.io import DataLoader, ImageFolderDataset
+
+    for cls in ["cat", "dog"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            Image.new("RGB", (10, 8), (i * 40, 0, 0)).save(d / f"{i}.png")
+    ds = ImageFolderDataset(str(tmp_path), img_size=8, to_unit_range=True)
+    assert len(ds) == 6
+    assert ds.class_names == ["cat", "dog"]
+    img, label = ds.load(0)
+    assert img.shape == (8, 8, 3) and label == 0
+    assert img.min() >= -1.0 and img.max() <= 1.0
+    batches = list(DataLoader(ds, batch_size=4, seed=0))
+    assert len(batches) == 1  # drop remainder
+    assert batches[0][0].shape == (4, 8, 8, 3)
+
+
+def test_profiler_utils():
+    import jax.numpy as jnp
+
+    from from_ddpm_to_stable_diffusion_tpu.utils.profiler import (StepProfiler,
+                                                                  debug_shapes,
+                                                                  nan_check)
+
+    prof = StepProfiler(warmup=1)
+    for _ in range(3):
+        with prof:
+            x = jnp.ones((4, 4)) * 2
+        prof.stop(x)
+    s = prof.summary()
+    assert s["steps"] == 2 and s["mean_ms"] >= 0
+
+    debug_shapes("test", {"a": np.zeros((2, 3))})
+    nan_check({"x": jnp.ones(3)})
+    with pytest.raises(FloatingPointError):
+        nan_check({"x": jnp.asarray([1.0, float("nan")])})
+
+
+def test_metrics_logger(tmp_path):
+    from from_ddpm_to_stable_diffusion_tpu.utils.logging import MetricsLogger
+
+    path = tmp_path / "m.jsonl"
+    log = MetricsLogger(str(path))
+    log.log("epoch", loss=1.5, step=3)
+    log.close()
+    rec = json.loads(path.read_text().strip())
+    assert rec["event"] == "epoch" and rec["loss"] == 1.5 and rec["step"] == 3

@@ -34,7 +34,9 @@ class TinyUNet(nn.Module):
     num_classes: int = 10
     dropout: float = 0.0
     time_emb_dim: int = 512
-    num_heads: int = 8
+    # None → heads derived per block from a 128 head_dim target (MXU-native);
+    # the reference uses 8 heads (head_dim 16-64), wasteful on TPU lanes.
+    num_heads: int | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact

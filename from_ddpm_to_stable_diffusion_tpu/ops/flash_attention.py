@@ -196,9 +196,13 @@ def _vjp_bwd(causal, scale, block_q, block_k, interpret, res, g):
         scale = q.shape[-1] ** -0.5
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    qf = q.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)  # (B,H,Lq)
+    # Matmuls stay in the input dtype (bf16 rides the MXU natively; fp32
+    # gets the HIGHEST 3-pass treatment) with fp32 accumulation; only the
+    # softmax reconstruction is explicit fp32.
+    qf = q
+    gf = g.astype(q.dtype)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # (B,H,Lq) fp32
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     ein = functools.partial(jnp.einsum, precision=prec,
@@ -207,8 +211,8 @@ def _vjp_bwd(causal, scale, block_q, block_k, interpret, res, g):
     bk = min(block_k, lk)
     n_k = _cdiv(lk, bk)
     lk_p = n_k * bk
-    kp = _pad_to(k.astype(jnp.float32), 2, bk)
-    vp = _pad_to(v.astype(jnp.float32), 2, bk)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
     bias_b = None
     if bias is not None:
         bias_b = _pad_to(jnp.broadcast_to(bias, (b, h, lq, lk)), 3, bk)
@@ -227,15 +231,17 @@ def _vjp_bwd(causal, scale, block_q, block_k, interpret, res, g):
         if causal:
             mask = jnp.logical_and(mask, col <= row)
         s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp(s - lse[..., None])
-        dv_b = ein("bhqk,bhqd->bhkd", p, gf)
-        dp = ein("bhqd,bhkd->bhqk", gf, vb)
-        ds = p * (dp - delta[..., None])
-        dq = dq + ein("bhqk,bhkd->bhqd", ds, kb) * scale
-        dk_b = ein("bhqk,bhqd->bhkd", ds, qf) * scale
+        p = jnp.exp(s - lse[..., None])          # fp32
+        pc = p.astype(q.dtype)
+        dv_b = ein("bhqk,bhqd->bhkd", pc, gf)
+        dp = ein("bhqd,bhkd->bhqk", gf, vb)      # fp32 out
+        ds = p * (dp - delta[..., None])         # fp32
+        dsc = ds.astype(q.dtype)
+        dq = dq + ein("bhqk,bhkd->bhqd", dsc, kb) * scale
+        dk_b = ein("bhqk,bhqd->bhkd", dsc, qf) * scale
         return dq, (dk_b, dv_b, ds if bias_b is not None else jnp.zeros(()))
 
-    dq0 = jnp.zeros_like(qf)
+    dq0 = jnp.zeros((b, h, lq, d), jnp.float32)
     dq, (dk_blocks, dv_blocks, ds_blocks) = jax.lax.scan(
         body, dq0, jnp.arange(n_k))
     # (n_k, B, H, bk, D) -> (B, H, Lk, D)

@@ -42,11 +42,25 @@ class TrainState(train_state.TrainState):
 
 
 class DDPMTrainer:
+    """Pixel-space (02_train_direct.py) or latent-space (03_train_with_vae.py)
+    DDPM training.
+
+    For latent-space training pass ``latent_encode_fn(images, rng) ->
+    latents`` (e.g. a frozen VAE encoder) and ``latent_decode_fn(latents) ->
+    images``; set ``config.img_channel`` to the latent channel count and
+    ``config.img_size`` to the LATENT spatial size (the reference's latent
+    variant trains at img 512 → latent 64, channel_img 4,
+    03_train_with_vae.py:36,69).
+    """
+
     def __init__(self, config: TinySDConfig, mesh=None,
-                 logger: Optional[MetricsLogger] = None):
+                 logger: Optional[MetricsLogger] = None,
+                 latent_encode_fn=None, latent_decode_fn=None):
         self.cfg = config
         self.mesh = mesh if mesh is not None else build_mesh(config.mesh_shape)
         self.logger = logger or MetricsLogger()
+        self.latent_encode_fn = latent_encode_fn
+        self.latent_decode_fn = latent_decode_fn
         policy = POLICIES[config.dtype]
         self.model = TinyUNet(
             out_channels=config.img_channel,
@@ -91,9 +105,13 @@ class DDPMTrainer:
         model = self.model
         bs = cfg.batch_size
 
+        latent_encode = self.latent_encode_fn
+
         def step_fn(state: TrainState, images, labels, rng):
             rng = jax.random.fold_in(rng, state.step)
-            drop_key, loss_key, dropout_key = jax.random.split(rng, 3)
+            drop_key, loss_key, dropout_key, enc_key = jax.random.split(rng, 4)
+            if latent_encode is not None:
+                images = latent_encode(images, enc_key)
             labels = labels + 1  # 0 is reserved for unconditional
             drop = jax.random.uniform(drop_key, labels.shape) < cfg.train_rand
             labels = jnp.where(drop, 0, labels)
@@ -184,8 +202,11 @@ class DDPMTrainer:
                 def apply(x, t, y):
                     return self.model.apply({"params": params}, x, t, y)
 
-                return ddpm_sample(apply, self.tables, x_T, labels, samp_key,
-                                   cfg.T, w=cfg.w)
+                out = ddpm_sample(apply, self.tables, x_T, labels, samp_key,
+                                  cfg.T, w=cfg.w)
+                if self.latent_decode_fn is not None:
+                    out = jnp.clip(self.latent_decode_fn(out), -1.0, 1.0)
+                return out
 
             self._sample_fn[key] = sample_fn
         params = state.ema_params if (use_ema and state.ema_params is not None) \

@@ -42,14 +42,14 @@ def bench_tiny_sd_train(iters: int = 20, warmup: int = 3):
     t_compile = time.perf_counter()
     for _ in range(warmup):
         state, loss = trainer.train_step(state, images, labels, rng)
-    jax.block_until_ready(loss)
+    float(loss)  # host transfer: the only honest sync on this relay
     print(f"[bench] warmup+compile: {time.perf_counter()-t_compile:.1f}s",
           file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = trainer.train_step(state, images, labels, rng)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     step_ms = dt / iters * 1e3
     imgs_per_sec = cfg.batch_size * iters / dt
@@ -91,13 +91,13 @@ def bench_sd1_denoise_step(iters: int = 10, warmup: int = 2):
     t0 = time.perf_counter()
     for i in range(warmup):
         latents = denoise_step(params, latents, jnp.float32(999 - i))
-    jax.block_until_ready(latents)
+    float(jnp.sum(latents))  # host transfer: honest sync
     print(f"[bench] sd1 warmup+compile: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(iters):
         latents = denoise_step(params, latents, jnp.float32(900 - i))
-    jax.block_until_ready(latents)
+    float(jnp.sum(latents))
     step_ms = (time.perf_counter() - t0) / iters * 1e3
     print(f"[bench] sd1 denoise step: {step_ms:.1f} ms "
           f"({1000.0 / (step_ms * 50):.3f} imgs/sec at 50 steps)",

@@ -1,0 +1,153 @@
+"""Per-stage shape checks — the reference's `01_check.py` UX as one CLI.
+
+Runs random-tensor forward passes through each stage's models and prints
+the shape trace (the reference's de-facto test idiom, SURVEY.md §4).
+
+  python -m from_ddpm_to_stable_diffusion_tpu.cli.checks sd1|sd3|vae|vit|clip|tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def check_tiny():
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.tiny_unet import TinyUNet
+
+    model = TinyUNet(base_channels=64, num_classes=3)
+    x = jnp.zeros((2, 64, 64, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    y = jnp.ones((2,), jnp.int32)
+    params = model.init(jax.random.key(0), x, t, y)
+    out = model.apply(params, x, t, y)
+    n = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"tiny UNet: in {x.shape} -> out {out.shape}  params {n:,}")
+    assert out.shape == x.shape
+
+
+def check_sd1():
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.sd1 import CLIPText, SD1UNet, VAEDecoder, VAEEncoder
+
+    clip = CLIPText(num_layers=2)
+    tokens = jnp.zeros((1, 77), jnp.int32)
+    cp = clip.init(jax.random.key(0), tokens)
+    print(f"CLIP text: {tokens.shape} -> {clip.apply(cp, tokens).shape}")
+
+    unet = SD1UNet(model_channels=64)
+    x = jnp.zeros((1, 32, 32, 4))
+    ctx = jnp.zeros((1, 77, 768))
+    t = jnp.zeros((1, 320))
+    up = unet.init(jax.random.key(1), x, ctx, t)
+    print(f"UNet: {x.shape} -> {unet.apply(up, x, ctx, t).shape}")
+
+    enc, dec = VAEEncoder(), VAEDecoder()
+    img = jnp.zeros((1, 64, 64, 3))
+    noise = jnp.zeros((1, 8, 8, 4))
+    ep = enc.init(jax.random.key(2), img, noise)
+    z = enc.apply(ep, img, noise)
+    dp = dec.init(jax.random.key(3), z)
+    print(f"VAE: {img.shape} -> {z.shape} -> {dec.apply(dp, z).shape}")
+
+
+def check_sd3():
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.mmdit import MMDiT, MMDiTConfig
+
+    cfg = MMDiTConfig(depth=2, pos_embed_max_size=16)
+    model = MMDiT(cfg)
+    x = jnp.zeros((2, 16, 16, 16))
+    t = jnp.asarray([500.0, 500.0])
+    y = jnp.zeros((2, 2048))
+    ctx = jnp.zeros((2, 154, 4096))
+    params = model.init(jax.random.key(0), x, t, y, ctx)
+    out = model.apply(params, x, t, y, ctx)
+    print(f"MMDiT(depth=2): latent {x.shape}, ctx {ctx.shape}, "
+          f"pooled {y.shape} -> {out.shape}")
+    assert out.shape == x.shape
+
+
+def check_vae():
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vae import VanillaVAE, VQVAE
+
+    v = VanillaVAE(image_size=64, latent_dim=32,
+                   hidden_dims=(16, 32, 64, 64, 64))
+    x = jnp.zeros((2, 64, 64, 3))
+    vars_ = v.init({"params": jax.random.key(0),
+                    "latent": jax.random.key(1)}, x)
+    recon, mu, log_var = v.apply(vars_, x, rngs={"latent": jax.random.key(2)})
+    print(f"VanillaVAE: {x.shape} -> recon {recon.shape}, mu {mu.shape}")
+
+    q = VQVAE(embedding_dim=4, num_embeddings=32, hidden_dims=(16, 32, 64))
+    qp = q.init(jax.random.key(3), x)
+    recon, vq_loss, idx = q.apply(qp, x)
+    print(f"VQVAE: {x.shape} -> recon {recon.shape}, codes {idx.shape}")
+
+
+def check_vit():
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vit import ViT
+
+    m = ViT(image_size=128, patch_size=32, num_classes=3, dim=512, depth=6,
+            heads=8, mlp_dim=1024)
+    x = jnp.zeros((2, 128, 128, 3))
+    p = m.init(jax.random.key(0), x)
+    n = sum(a.size for a in jax.tree_util.tree_leaves(p))
+    print(f"ViT: {x.shape} -> {m.apply(p, x).shape}  params {n:,}")
+
+
+def check_clip():
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip import CLIP
+    from ..models.siglip import SiglipVisionConfig, SiglipVisionModel
+
+    m = CLIP(embed_dim=64, image_resolution=64, vision_layers=2,
+             vision_width=128, vision_patch_size=16, context_length=16,
+             vocab_size=128, transformer_width=64, transformer_heads=4,
+             transformer_layers=2)
+    img = jnp.zeros((2, 64, 64, 3))
+    txt = jnp.zeros((2, 16), jnp.int32)
+    p = m.init(jax.random.key(0), img, txt)
+    li, lt = m.apply(p, img, txt)
+    print(f"CLIP: image {img.shape} + text {txt.shape} -> logits {li.shape}")
+
+    sig = SiglipVisionModel(SiglipVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=64, patch_size=16))
+    sp = sig.init(jax.random.key(1), img)
+    print(f"SigLIP vision: {img.shape} -> {sig.apply(sp, img).shape}")
+
+
+CHECKS = {"tiny": check_tiny, "sd1": check_sd1, "sd3": check_sd3,
+          "vae": check_vae, "vit": check_vit, "clip": check_clip}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="checks")
+    ap.add_argument("stage", choices=sorted(CHECKS) + ["all"])
+    args = ap.parse_args(argv)
+    stages = sorted(CHECKS) if args.stage == "all" else [args.stage]
+    for s in stages:
+        print(f"--- {s} ---")
+        CHECKS[s]()
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

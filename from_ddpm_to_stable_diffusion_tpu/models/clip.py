@@ -58,7 +58,7 @@ class CLIPVisionTower(nn.Module):
         """x: (B, H, W, 3) -> pooled projected features (B, output_dim)."""
         b = x.shape[0]
         p = self.patch_size
-        heads = self.width // 64
+        heads = max(1, self.width // 64)
         h = nn.Conv(self.width, (p, p), strides=(p, p), padding="VALID",
                     use_bias=False, dtype=self.dtype,
                     name="conv1")(x.astype(self.dtype))

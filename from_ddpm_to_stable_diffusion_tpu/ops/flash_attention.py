@@ -47,9 +47,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 
     q_start = iq * block_q
     k_start = ik * block_k
-    # Static True when not causal; traced predicate skips blocks strictly
-    # above the diagonal when causal.
-    run = (k_start <= q_start + block_q - 1) if causal else True
+    # Skip key blocks that are entirely padding, and (when causal) blocks
+    # strictly above the diagonal.
+    run = k_start < lk_actual
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
 
     # fp32 inputs ask for true fp32 math (parity/tests); bf16 rides the MXU.
     mxu_precision = (jax.lax.Precision.HIGHEST
@@ -58,10 +60,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # Feed the MXU in the input dtype (bf16 native pass); accumulate and
+        # run the softmax in fp32 via preferred_element_type.
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision) * scale
         if bias_ref is not None:
@@ -173,7 +175,7 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def flash_attention(q, k, v, bias=None, causal: bool = False,
                     scale: Optional[float] = None,
-                    block_q: int = 256, block_k: int = 512,
+                    block_q: int = 1024, block_k: int = 1024,
                     interpret: bool = False):
     """Flash attention over (B, H, L, D); returns (B, H, Lq, D)."""
     out, _ = _flash_fwd(q, k, v, bias, causal,

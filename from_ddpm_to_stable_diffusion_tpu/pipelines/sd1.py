@@ -47,6 +47,29 @@ class SD1Models:
     params: Dict[str, Any]  # {"clip": .., "unet": .., "encoder": .., "decoder": ..}
 
     @classmethod
+    def from_checkpoint_dir(cls, ckpt_dir: str,
+                            dtype: str = "bf16") -> "SD1Models":
+        """Load the reference's checkpoint layout: ``<dir>/ckpt/{clip,
+        diffusion,encoder,decoder}.pt`` (01_.../model_loader.py:35-77)."""
+        import os
+
+        from ..io.weights import (import_sd1_clip, import_sd1_unet,
+                                  import_sd1_vae_decoder,
+                                  import_sd1_vae_encoder)
+
+        dt = POLICIES[dtype].compute_dtype
+        p = lambda name: os.path.join(ckpt_dir, "ckpt", f"{name}.pt")
+        return cls(
+            clip=CLIPText(dtype=dt), unet=SD1UNet(dtype=dt),
+            encoder=VAEEncoder(dtype=dt), decoder=VAEDecoder(dtype=dt),
+            params={
+                "clip": import_sd1_clip(p("clip")),
+                "unet": import_sd1_unet(p("diffusion")),
+                "encoder": import_sd1_vae_encoder(p("encoder")),
+                "decoder": import_sd1_vae_decoder(p("decoder")),
+            })
+
+    @classmethod
     def initialize(cls, rng: jax.Array, dtype: str = "bf16",
                    height: int = 512, width: int = 512) -> "SD1Models":
         """Random-init bundle (for benchmarks/tests; real use imports weights)."""

@@ -74,6 +74,40 @@ class SD3Models:
     params: Dict[str, Any]
 
     @classmethod
+    def from_checkpoints(cls, sd3_path: str,
+                         clip_l_path: Optional[str] = None,
+                         clip_g_path: Optional[str] = None,
+                         t5_path: Optional[str] = None,
+                         dtype: str = "bf16") -> "SD3Models":
+        """Load the reference's five model groups from safetensors files
+        (sd3_infer.py load(); MMDiT config shape-sniffed from the ckpt)."""
+        from ..io.weights_sd3 import (import_clip_text, import_sd3_checkpoint,
+                                      import_t5)
+
+        dt = POLICIES[dtype].compute_dtype
+        mmdit_params, enc_params, dec_params, cfg = import_sd3_checkpoint(
+            sd3_path)
+        params = {"mmdit": mmdit_params, "vae_encoder": enc_params,
+                  "vae_decoder": dec_params}
+        mmdit = MMDiT(cfg, dtype=dt)
+        clip_l = CLIPTextModel(CLIP_L_CONFIG, intermediate_output=-2,
+                               dtype=dt)
+        clip_g = CLIPTextModel(CLIP_G_CONFIG, intermediate_output=-2,
+                               dtype=dt)
+        t5 = None
+        if clip_l_path:
+            params["clip_l"] = import_clip_text(
+                clip_l_path, CLIP_L_CONFIG.num_layers)
+        if clip_g_path:
+            params["clip_g"] = import_clip_text(
+                clip_g_path, CLIP_G_CONFIG.num_layers)
+        if t5_path:
+            t5 = T5Encoder(T5Config(), dtype=dt)
+            params["t5"] = import_t5(t5_path)
+        return cls(mmdit, SD3VAEEncoder(dtype=dt), SD3VAEDecoder(dtype=dt),
+                   clip_l, clip_g, t5, params)
+
+    @classmethod
     def initialize(cls, rng: jax.Array, dtype: str = "bf16",
                    depth: int = 4, with_t5: bool = True,
                    t5_config: Optional[T5Config] = None,

@@ -133,14 +133,33 @@ def check_clip():
     print(f"SigLIP vision: {img.shape} -> {sig.apply(sp, img).shape}")
 
 
+def check_weights(path: str):
+    """Dump tensor names/shapes/dtypes of a checkpoint file — the
+    reference's check_tensor() (01_.../01_check.py:100-108)."""
+    from ..io.weights import load_safetensors_dict, load_torch_state_dict
+
+    state = (load_safetensors_dict(path) if path.endswith(".safetensors")
+             else load_torch_state_dict(path))
+    for k in sorted(state):
+        v = state[k]
+        print(f"{k}: {tuple(v.shape)} {v.dtype}")
+    print(f"{len(state)} tensors")
+
+
 CHECKS = {"tiny": check_tiny, "sd1": check_sd1, "sd3": check_sd3,
           "vae": check_vae, "vit": check_vit, "clip": check_clip}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="checks")
-    ap.add_argument("stage", choices=sorted(CHECKS) + ["all"])
+    ap.add_argument("stage", choices=sorted(CHECKS) + ["all", "weights"])
+    ap.add_argument("path", nargs="?", help="checkpoint path (weights mode)")
     args = ap.parse_args(argv)
+    if args.stage == "weights":
+        if not args.path:
+            ap.error("weights mode needs a checkpoint path")
+        check_weights(args.path)
+        return 0
     stages = sorted(CHECKS) if args.stage == "all" else [args.stage]
     for s in stages:
         print(f"--- {s} ---")

@@ -91,6 +91,32 @@ class SyntheticImageDataset:
         return img, int(idx % self.num_classes)
 
 
+def prefetch_to_device(iterator, mesh=None, size: int = 2):
+    """Stage upcoming batches on device (batch-sharded over the mesh's data
+    axis) so host→HBM transfer overlaps the current step's compute."""
+    import collections
+
+    from ..parallel import shard_batch
+
+    buf = collections.deque()
+    it = iter(iterator)
+
+    def put(batch):
+        return shard_batch(mesh, batch) if mesh is not None else batch
+
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            continue
+
+
 class DataLoader:
     """Shuffled, fixed-shape, prefetching batch iterator.
 

@@ -115,6 +115,12 @@ class CLIPTokenizer:
     def encode_batch(self, texts: List[str]) -> List[List[int]]:
         return [self.encode(t) for t in texts]
 
+    def tokenize_with_weights(self, text: str):
+        """(token, weight) pairs with weights stubbed to 1.0 — API parity
+        with the reference SD3 tokenizer (02_.../utils.py:187-226), which
+        also does not implement prompt weighting."""
+        return [(tok, 1.0) for tok in self.encode(text)]
+
     def decode(self, ids: List[int]) -> str:
         inv_vocab = {v: k for k, v in self.vocab.items()}
         inv_bytes = {c: b for b, c in self._bytes.items()}

@@ -12,8 +12,10 @@ broadcastable to (B, H, Lq, Lk). Logits/softmax accumulate in fp32; inputs
 may be bf16. Sequence lengths are padded to block multiples in the wrapper;
 padded keys are masked inside the kernel by global column index.
 
-Backward: recompute-based, scanned over key blocks in XLA (per-step memory
-O(Lq·block_k)); forward saves only (out, lse) — the flash residual contract.
+Backward: forward saves only (out, lse) — the flash residual contract —
+then two recompute-based Pallas kernels produce dq (key-block inner loop)
+and dk/dv (query-block inner loop); the bias path falls back to an
+XLA-scanned recompute that also yields dbias.
 """
 
 from __future__ import annotations
@@ -191,7 +193,191 @@ def _vjp_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
     return out, (q, k, v, bias, out, lse)
 
 
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                   dq_ref, acc_ref,
+                   *, scale, causal, lk_actual, block_q, block_k, n_k):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = k_start < lk_actual
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    @pl.when(run)
+    def _():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (block_q, block_k), 1)
+        mask = col < lk_actual
+        if causal:
+            row = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, col <= row)
+        lse = lse_ref[0]  # (block_q, 1)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        delta = delta_ref[0]  # (block_q, 1)
+        ds = p * (dp - delta)
+        acc_ref[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(ik == n_k - 1)
+    def _fin():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, acc_dk, acc_dv,
+                    *, scale, causal, block_q, block_k, n_q):
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        acc_dk[:] = jnp.zeros_like(acc_dk)
+        acc_dv[:] = jnp.zeros_like(acc_dv)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    # causal: a q block contributes only if its last row reaches this k block
+    run = (q_start + block_q - 1 >= k_start) if causal else True
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    @pl.when(run if causal else True)
+    def _():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        # padded q rows carry lse=+inf -> p=0; padded k cols are sliced off
+        lse = lse_ref[0]  # (block_q, 1)
+        p = jnp.exp(s - lse)
+        if causal:
+            row = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            col = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            p = jnp.where(col <= row, p, 0.0)
+        acc_dv[:] += jax.lax.dot_general(
+            p.astype(g_ref.dtype), g_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dp = jax.lax.dot_general(
+            g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        delta = delta_ref[0]  # (block_q, 1)
+        ds = p * (dp - delta)
+        acc_dk[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(iq == n_q - 1)
+    def _fin():
+        dk_ref[0] = (acc_dk[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas(q, k, v, out, lse, g, causal, scale, block_q, block_k,
+                      interpret):
+    """Pallas two-kernel flash backward (no-bias path)."""
+    b, h, lq, d_orig = q.shape
+    lk = k.shape[2]
+    block_q = min(block_q, _cdiv(lq, 128) * 128)
+    block_k = min(block_k, _cdiv(lk, 128) * 128)
+    qp = _pad_to(_pad_to(q.reshape(b * h, lq, d_orig), 2, 128), 1, block_q)
+    kp = _pad_to(_pad_to(k.reshape(b * h, lk, d_orig), 2, 128), 1, block_k)
+    vp = _pad_to(_pad_to(v.reshape(b * h, lk, d_orig), 2, 128), 1, block_k)
+    gp = _pad_to(_pad_to(g.reshape(b * h, lq, d_orig), 2, 128), 1, block_q)
+    d = qp.shape[-1]
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
+    n_q, n_k = lq_p // block_q, lk_p // block_k
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).reshape(b * h, lq, 1)
+    lse_p = jnp.pad(lse.reshape(b * h, lq, 1),
+                    ((0, 0), (0, lq_p - lq), (0, 0)),
+                    constant_values=1e30)  # padded rows -> p = 0
+    delta_p = _pad_to(delta, 1, block_q)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          lk_actual=lk, block_q=block_q, block_k=block_k,
+                          n_k=n_k),
+        grid=(b * h, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, iq, ik: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_p, delta_p)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, n_q=n_q),
+        grid=(b * h, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lk_p, d), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_p, delta_p)
+
+    dq = dq[:, :lq, :d_orig].reshape(b, h, lq, d_orig)
+    dk = dk[:, :lk, :d_orig].reshape(b, h, lk, d_orig)
+    dv = dv[:, :lk, :d_orig].reshape(b, h, lk, d_orig)
+    return dq, dk, dv
+
+
 def _vjp_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    """Flash backward: Pallas two-kernel path (no bias), XLA-scanned
+    recompute fallback (bias / non-TPU)."""
+    q_, k_, v_, bias_, out_, lse_ = res
+    if scale is None:
+        scale_v = q_.shape[-1] ** -0.5
+    else:
+        scale_v = scale
+    if bias_ is None and (interpret or jax.default_backend() == "tpu"):
+        dq, dk, dv = _flash_bwd_pallas(q_, k_, v_, out_, lse_, g, causal,
+                                       scale_v, block_q, block_k, interpret)
+        return (dq, dk, dv, None)
+    return _vjp_bwd_xla(causal, scale_v, block_q, block_k, res, g)
+
+
+def _vjp_bwd_xla(causal, scale, block_q, block_k, res, g):
     """Scanned recompute backward: per-step memory O(Lq·block_k)."""
     q, k, v, bias, out, lse = res
     if scale is None:

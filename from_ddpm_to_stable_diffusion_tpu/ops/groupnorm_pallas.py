@@ -1,0 +1,106 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+One HBM read + one write per activation: statistics, normalization, affine
+and the following SiLU all happen while the (H·W, C) slab sits in VMEM —
+XLA's lowering runs a separate reduce pass plus a normalize pass. Group
+sums are computed on the MXU via one-hot matrices, so no in-kernel
+reshapes to non-lane-aligned shapes are needed (C=320/1280 are not 128
+multiples).
+
+Used for slabs that fit VMEM (≤ ~8 MB); the XLA path in
+:mod:`.groupnorm` remains the fallback for VAE-decoder-scale tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, to_group_ref, from_group_ref,
+               o_ref, *, eps, act, hw_actual, inv_n):
+    x = x_ref[0]                      # (HWp, C) input dtype
+    xf = x.astype(jnp.float32)
+    hwp = x.shape[0]
+    row_ok = jax.lax.broadcasted_iota(jnp.int32, (hwp, 1), 0) < hw_actual
+    xm = jnp.where(row_ok, xf, 0.0)
+
+    csum = jnp.sum(xm, axis=0, keepdims=True)          # (1, C)
+    csq = jnp.sum(xm * xm, axis=0, keepdims=True)      # (1, C)
+    to_g = to_group_ref[:]                             # (C, G)
+    from_g = from_group_ref[:]                         # (G, C)
+    gsum = jnp.dot(csum, to_g, preferred_element_type=jnp.float32)
+    gsq = jnp.dot(csq, to_g, preferred_element_type=jnp.float32)
+    mean_g = gsum * inv_n                              # (1, G)
+    var_g = gsq * inv_n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, from_g,
+                     preferred_element_type=jnp.float32)  # (1, C)
+    inv_c = jnp.dot(inv_g, from_g, preferred_element_type=jnp.float32)
+
+    scale = scale_ref[:].astype(jnp.float32)           # (1, C)
+    bias = bias_ref[:].astype(jnp.float32)
+    out = (xf - mean_c) * (inv_c * scale) + bias
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def group_norm_pallas(x, num_groups: int, scale, bias, eps: float = 1e-5,
+                      act: Optional[str] = None, interpret: bool = False):
+    """Fused GN(+SiLU) over NHWC; one kernel program per batch row."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    hw = int(np.prod(x.shape[1:-1]))
+    xr = x.reshape(b, hw, c)
+    hwp = _cdiv(hw, 8) * 8
+    if hwp != hw:
+        xr = jnp.pad(xr, ((0, 0), (0, hwp - hw), (0, 0)))
+
+    cg = c // num_groups
+    group_ids = np.arange(c) // cg
+    to_group = jnp.asarray(
+        (group_ids[:, None] == np.arange(num_groups)[None, :]),
+        jnp.float32)                                   # (C, G)
+    from_group = to_group.T                            # (G, C)
+    inv_n = 1.0 / (hw * cg)
+
+    kernel = functools.partial(_gn_kernel, eps=eps, act=act, hw_actual=hw,
+                               inv_n=inv_n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hwp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, num_groups), lambda i: (0, 0)),
+            pl.BlockSpec((num_groups, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hwp, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hwp, c), x.dtype),
+        interpret=interpret,
+    )(xr, scale.reshape(1, c), bias.reshape(1, c), to_group, from_group)
+    return out[:, :hw].reshape(x.shape)
+
+
+def eligible(x, num_groups: int) -> bool:
+    """VMEM budget + backend check for the fused path."""
+    if jax.default_backend() != "tpu":
+        return False
+    c = x.shape[-1]
+    hw = int(np.prod(x.shape[1:-1]))
+    if c % num_groups:
+        return False
+    # slab (fp32 working set ~2x input) must fit the 16MB VMEM
+    return hw * c * 4 * 2 <= 12 * 1024 * 1024

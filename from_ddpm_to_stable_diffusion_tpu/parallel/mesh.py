@@ -23,6 +23,23 @@ MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
 
 
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """Join a multi-host mesh over DCN via ``jax.distributed.initialize``.
+
+    On single-host (or TPU-pod auto-detection) all arguments stay None.
+    Returns the global device count. After this, :func:`build_mesh` over
+    ``jax.devices()`` spans all hosts — same API, more chips.
+    """
+    import jax.distributed
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return len(jax.devices())
+
+
 def build_mesh(shape: Optional[Mapping[str, int]] = None,
                devices=None) -> Mesh:
     """Build a named mesh.

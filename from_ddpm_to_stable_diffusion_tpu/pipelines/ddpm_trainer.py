@@ -161,11 +161,13 @@ class DDPMTrainer:
                 if restored is not None:
                     state, start_epoch = restored, at
                     self.logger.log("resume", epoch=at)
+        from ..io.data import prefetch_to_device
+
         best_loss = float("inf")
         for epoch in range(start_epoch, epochs or cfg.epoch):
             t0 = time.perf_counter()
             total, count = 0.0, 0
-            for images, labels in loader:
+            for images, labels in prefetch_to_device(loader, self.mesh):
                 state, loss = self.train_step(state, images, labels, rng)
                 total += float(loss)
                 count += 1

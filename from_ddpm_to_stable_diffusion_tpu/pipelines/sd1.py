@@ -163,11 +163,7 @@ def generate(
         latents = jax.random.normal(noise_key, (b, h8, w8, 4)) \
             * tables["initial_scale"]
 
-    # ---- denoise scan ----
-    # precompute (S,) timesteps -> (S, 320) embedding table once
-    t_table = emb_ops.sd1_time_embedding(
-        jnp.asarray(tables["timesteps"], jnp.float32))  # (S, 320)
-
+    # ---- denoise scan (time features computed in-scan; 160 flops) ----
     def denoise_fn(x, timestep):
         t_feat = emb_ops.sd1_time_embedding(timestep[None])
         if do_cfg:

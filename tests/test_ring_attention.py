@@ -102,3 +102,30 @@ def test_tp_sharded_forward_matches_single_device(devices8):
     got = jax.jit(lambda p, x, t, y: model.apply({"params": p}, x, t, y))(
         sharded, xs, t, y)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_tp_sharded_mmdit_forward_matches_single_device(devices8):
+    """TP over the MMDiT joint blocks must be exact (GSPMD collectives)."""
+    import jax.numpy as jnp
+
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+
+    cfg = MMDiTConfig(depth=2, pos_embed_max_size=8)
+    model = MMDiT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+    t = jnp.asarray([100.0, 500.0])
+    y = jax.random.normal(jax.random.key(1), (2, 2048))
+    ctx = jax.random.normal(jax.random.key(2), (2, 154, 4096))
+    params = model.init(jax.random.key(3), x, t, y, ctx)["params"]
+    want = model.apply({"params": params}, x, t, y, ctx)
+
+    mesh = build_mesh({"data": 2, "model": 4}, devices8)
+    sharded = jax.tree_util.tree_map(
+        jax.device_put, params, tp_shardings(params, mesh))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda p, x: model.apply({"params": p}, x, t, y, ctx))(
+        sharded, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

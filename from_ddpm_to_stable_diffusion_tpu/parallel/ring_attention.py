@@ -30,19 +30,27 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import SEQ_AXIS
 
 
-def _attention_with_lse(q, k, v, scale):
-    """XLA attention returning (out, lse) — the per-block primitive."""
+def _attention_with_lse(q, k, v, scale, kv_mask=None):
+    """XLA attention returning (out, lse) — the per-block primitive.
+
+    ``kv_mask``: optional (Lk,) bool; masked-out keys contribute nothing
+    (fully-masked blocks yield lse = −inf and a zero partial, which the
+    log-sum-exp merge ignores).
+    """
     precision = (jax.lax.Precision.HIGHEST
                  if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32,
                         precision=precision) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[None, None, None, :], logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.einsum("bhqk,bhkd->bhqd", (p / l).astype(v.dtype), v,
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    out = jnp.einsum("bhqk,bhkd->bhqd", (p / safe_l).astype(v.dtype), v,
                      precision=precision)
-    lse = (m + jnp.log(l))[..., 0]  # (B, H, Lq)
+    lse = (m + jnp.log(safe_l))[..., 0]  # (B, H, Lq)
     return out, lse
 
 
@@ -61,27 +69,42 @@ def ring_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     mesh: Mesh, axis: str = SEQ_AXIS,
     scale: Optional[float] = None,
+    kv_valid_len: Optional[int] = None,
 ) -> jax.Array:
     """Exact attention with q/k/v sharded on seq over ``axis`` of ``mesh``.
 
-    q, k, v: (B, H, L, D) global arrays (sharded or to-be-sharded on L).
+    q, k, v: (B, H, L, D) global arrays (sharded or to-be-sharded on L);
+    L must be a multiple of the axis size — pad and pass ``kv_valid_len``
+    for ragged sequences (padded keys are masked by global position;
+    padded query rows produce garbage the caller slices off).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = mesh.shape[axis]
+    l = k.shape[2]
+    block = l // n
     spec = P(None, None, axis, None)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec)
     def inner(ql, kl, vl):
-        out, lse = _attention_with_lse(ql, kl, vl, scale)
+        me = jax.lax.axis_index(axis)
 
-        def hop(carry, _):
+        def kv_mask(src):
+            if kv_valid_len is None or kv_valid_len == l:
+                return None
+            start = src * block
+            return start + jnp.arange(block) < kv_valid_len
+
+        out, lse = _attention_with_lse(ql, kl, vl, scale, kv_mask(me))
+
+        def hop(carry, step):
             out, lse, kb, vb = carry
             kb = jax.lax.ppermute(kb, axis, perm)
             vb = jax.lax.ppermute(vb, axis, perm)
-            o2, l2 = _attention_with_lse(ql, kb, vb, scale)
+            src = (me - step - 1) % n  # block now visiting this device
+            o2, l2 = _attention_with_lse(ql, kb, vb, scale, kv_mask(src))
             out, lse = _merge_partials(out, lse, o2, l2)
             return (out, lse, kb, vb), None
 

@@ -1,0 +1,89 @@
+"""Generation-quality metrics: Fréchet distance (FID-style) and CLIP score.
+
+BASELINE.md names FID / CLIP-score parity as the quality contract. The
+classic FID featurizer (InceptionV3 pool3) requires downloaded weights;
+offline, the framework's own CLIP vision tower serves as the featurizer
+(CLIP-FID — a standard variant) through the same Fréchet machinery, and the
+InceptionV3 features can be dropped in when weights are available: the
+statistics/distance math below is featurizer-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def feature_statistics(features: jax.Array):
+    """(N, D) features -> (mu (D,), cov (D, D)) in float64-ish fp32."""
+    f = jnp.asarray(features, jnp.float32)
+    mu = jnp.mean(f, axis=0)
+    centered = f - mu
+    cov = centered.T @ centered / (f.shape[0] - 1)
+    return mu, cov
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """FID = |μ₁−μ₂|² + tr(Σ₁ + Σ₂ − 2·(Σ₁^{1/2} Σ₂ Σ₁^{1/2})^{1/2}).
+
+    The matrix square roots use symmetric eigendecompositions (jnp.eigh),
+    clamping tiny negative eigenvalues from numerical noise.
+    """
+    mu1, cov1, mu2, cov2 = (jnp.asarray(a, jnp.float32)
+                            for a in (mu1, cov1, mu2, cov2))
+
+    def sqrtm_psd(m):
+        w, v = jnp.linalg.eigh(m)
+        w = jnp.maximum(w, 0.0)
+        return (v * jnp.sqrt(w)[None, :]) @ v.T
+
+    s1 = sqrtm_psd(cov1 + eps * jnp.eye(cov1.shape[0]))
+    inner = s1 @ cov2 @ s1
+    s_inner = sqrtm_psd((inner + inner.T) / 2.0)
+    diff = mu1 - mu2
+    fid = (jnp.dot(diff, diff) + jnp.trace(cov1) + jnp.trace(cov2)
+           - 2.0 * jnp.trace(s_inner))
+    return float(fid)
+
+
+def fid_from_features(feats_a, feats_b) -> float:
+    mu1, c1 = feature_statistics(feats_a)
+    mu2, c2 = feature_statistics(feats_b)
+    return frechet_distance(mu1, c1, mu2, c2)
+
+
+def clip_image_features(images, clip_model, params,
+                        batch_size: int = 32) -> np.ndarray:
+    """Normalized image features from the framework's CLIP vision tower.
+
+    images: (N, H, W, 3) float in [−1, 1] at the tower's resolution.
+    """
+    feats = []
+    apply = jax.jit(lambda p, x: clip_model.apply(
+        {"params": p}, x, method=type(clip_model).encode_image))
+    for s in range(0, len(images), batch_size):
+        f = apply(params, jnp.asarray(images[s:s + batch_size]))
+        f = f / jnp.linalg.norm(f.astype(jnp.float32), axis=1, keepdims=True)
+        feats.append(np.asarray(f))
+    return np.concatenate(feats)
+
+
+def clip_fid(images_a, images_b, clip_model, params) -> float:
+    """Fréchet distance in the CLIP vision tower's feature space."""
+    return fid_from_features(
+        clip_image_features(images_a, clip_model, params),
+        clip_image_features(images_b, clip_model, params))
+
+
+def clip_score(images, token_ids, clip_model, params) -> float:
+    """Mean 100·cos(image, caption) over matched pairs (CLIPScore)."""
+    img = clip_model.apply({"params": params}, jnp.asarray(images),
+                           method=type(clip_model).encode_image)
+    txt = clip_model.apply({"params": params}, jnp.asarray(token_ids),
+                           method=type(clip_model).encode_text)
+    img = img / jnp.linalg.norm(img.astype(jnp.float32), axis=1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=1, keepdims=True)
+    return float(100.0 * jnp.mean(jnp.sum(img * txt, axis=1)))

@@ -129,3 +129,44 @@ def test_tp_sharded_mmdit_forward_matches_single_device(devices8):
     got = jax.jit(lambda p, x: model.apply({"params": p}, x, t, y, ctx))(
         sharded, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_ring_attention_ragged_kv_mask(devices8):
+    """Padded sequences: kv_valid_len masks padded keys exactly."""
+    mesh = build_mesh({"seq": 8}, devices8)
+    rng = np.random.default_rng(5)
+    l_valid, l_pad = 50, 64  # 64 divides over 8 devices; 14 padded keys
+    q = jnp.asarray(rng.standard_normal((1, 2, l_pad, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, l_pad, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, l_pad, 16)), jnp.float32)
+    got = ring_attention(q, k, v, mesh, axis="seq", kv_valid_len=l_valid)
+    want = _xla_attention(q[:, :, :], k[:, :, :l_valid], v[:, :, :l_valid],
+                          None, False, 16**-0.5)
+    np.testing.assert_allclose(np.asarray(got[:, :, :l_valid]),
+                               np.asarray(want[:, :, :l_valid]), atol=2e-5)
+
+
+def test_mmdit_ring_attention_matches_flash(devices8):
+    """MMDiT with sequence-parallel ring attention == single-device MMDiT."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+
+    cfg = MMDiTConfig(depth=2, pos_embed_max_size=8)
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 16))
+    t = jnp.asarray([300.0])
+    y = jax.random.normal(jax.random.key(1), (1, 2048))
+    ctx = jax.random.normal(jax.random.key(2), (1, 154, 4096))
+    base = MMDiT(cfg)
+    params = base.init(jax.random.key(3), x, t, y, ctx)["params"]
+    want = base.apply({"params": params}, x, t, y, ctx)
+
+    mesh = build_mesh({"seq": 8}, devices8)
+    ring_cfg = dataclasses.replace(cfg, attention_impl="ring")
+    ring_model = MMDiT(ring_cfg, mesh=mesh)
+    # joint seq = 154 + 16 = 170, padded to 176 over 8 devices
+    got = ring_model.apply({"params": params}, x, t, y, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)

@@ -9,7 +9,6 @@ the shape trace (the reference's de-facto test idiom, SURVEY.md §4).
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def check_tiny():

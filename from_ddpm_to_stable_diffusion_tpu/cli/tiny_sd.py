@@ -7,7 +7,6 @@ are key-compatible with 00_assets/yml/tiny_sd_direct.yml.
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main(argv=None):

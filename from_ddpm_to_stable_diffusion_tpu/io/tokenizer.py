@@ -17,7 +17,7 @@ from __future__ import annotations
 import functools
 import json
 import unicodedata
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import regex as re
 

@@ -24,7 +24,7 @@ from typing import Callable, Dict, List, Tuple
 import numpy as np
 
 from .weights import (_conv, _dense, _dense_nobias, _norm, _prefix,
-                      apply_rules, t_conv, t_dense, t_none)
+                      apply_rules, t_dense, t_none)
 
 Rules = List[Tuple[str, str, Callable]]
 

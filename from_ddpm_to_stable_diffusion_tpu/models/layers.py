@@ -14,7 +14,7 @@ Structural parity targets (no code shared — see module docstrings):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

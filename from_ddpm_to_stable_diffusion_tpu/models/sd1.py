@@ -22,13 +22,12 @@ Key structural facts preserved:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
 from .layers import GroupNorm, LayerNorm, SelfAttention, TransformerBlock
 
 Dtype = Any

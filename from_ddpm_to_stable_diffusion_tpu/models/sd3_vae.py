@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import dot_product_attention
 from ..ops.image import upsample_nearest_2x
 from .layers import GroupNorm
 from .sd1 import VAEAttentionBlock, VAEResBlock, _downsample_conv

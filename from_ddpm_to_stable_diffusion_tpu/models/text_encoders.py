@@ -26,8 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import dot_product_attention, multi_head_attention
-from ..ops.groupnorm import layer_norm, rms_norm
+from ..ops.attention import multi_head_attention
+from ..ops.groupnorm import rms_norm
 from .layers import LayerNorm, SelfAttention
 
 Dtype = Any

@@ -17,7 +17,6 @@ lower-triangular mask. Softmax accumulates in fp32 regardless of input dtype
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

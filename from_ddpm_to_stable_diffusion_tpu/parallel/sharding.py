@@ -18,8 +18,6 @@ is replicated — convs dominate FLOPs only in the VAE, which fits one chip.
 from __future__ import annotations
 
 import re
-from typing import Any
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -17,8 +17,6 @@ TPU-native re-design of /root/reference/06_tiny_stable_diffusion/
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import time
 from typing import Any, Iterable, Optional
 

@@ -21,7 +21,7 @@ uint8 images), entirely restructured for TPU:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ statistics/distance math below is featurizer-agnostic.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -121,3 +121,21 @@ def test_metrics_logger(tmp_path):
     log.close()
     rec = json.loads(path.read_text().strip())
     assert rec["event"] == "epoch" and rec["loss"] == 1.5 and rec["step"] == 3
+
+
+def test_shapes_dataset_classes():
+    from from_ddpm_to_stable_diffusion_tpu.io.shapes_dataset import ShapesDataset
+
+    ds = ShapesDataset(n=9, img_size=32)
+    assert len(ds) == 9
+    for i in range(6):
+        img, label = ds.load(i)
+        assert img.shape == (32, 32, 3)
+        assert label == i % 3
+        assert img.min() >= -1.0 and img.max() <= 1.0
+        # a shape exists: some pixels differ from the background
+        assert (img > -0.85).any()
+    # deterministic
+    a, _ = ds.load(3)
+    b, _ = ds.load(3)
+    np.testing.assert_array_equal(a, b)

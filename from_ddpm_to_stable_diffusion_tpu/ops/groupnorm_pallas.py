@@ -102,5 +102,7 @@ def eligible(x, num_groups: int) -> bool:
     hw = int(np.prod(x.shape[1:-1]))
     if c % num_groups:
         return False
-    # slab (fp32 working set ~2x input) must fit the 16MB VMEM
-    return hw * c * 4 * 2 <= 12 * 1024 * 1024
+    # Empirical VMEM footprint is ~14 bytes/element (bf16 in/out blocks with
+    # double-buffering + fp32 intermediates): a 4096x320 slab measured
+    # 18.18MB against the 16MB scoped limit. Stay under 15MB.
+    return hw * c * 14 <= 15 * 1024 * 1024

@@ -1,14 +1,18 @@
 """Stage-02 CLI: SD3 text→image generation.
 
 Mirrors the 02_stable_diffusion-3/01_check.py demo op point (1024×1024,
-50 steps, CFG 5, shift 3.0, seed 1). With --ckpt the five model groups load
-from safetensors with shape-sniffed config; without, a scaled-down
-random-weight bundle runs a smoke test.
+50 steps, CFG 5, shift 3.0, seed 1) and sd3_infer.py's prompt-in image-out
+surface. With --ckpt the model groups load from safetensors (MMDiT config
+shape-sniffed, ref sd3_infer.py:85-105); without, a scaled-down
+random-weight bundle runs a smoke test. Tokenizers: --vocab/--merges for
+the CLIP pair, --spm for the T5 SentencePiece model; without files the
+prompt falls back to deterministic placeholder ids (plumbing smoke only).
 """
 
 from __future__ import annotations
 
 import argparse
+import sys
 
 
 def main(argv=None):
@@ -24,8 +28,20 @@ def main(argv=None):
     g.add_argument("--shift", type=float, default=3.0)
     g.add_argument("--seed", type=int, default=1)
     g.add_argument("--ckpt", default=None, help="sd3 .safetensors path")
+    g.add_argument("--clip-l", default=None,
+                   help="CLIP-L text encoder .safetensors (optional when "
+                        "the main ckpt embeds text encoders)")
+    g.add_argument("--clip-g", default=None,
+                   help="CLIP-G text encoder .safetensors")
+    g.add_argument("--t5", default=None, help="T5-XXL .safetensors")
     g.add_argument("--vocab", default=None, help="CLIP vocab.json")
     g.add_argument("--merges", default=None, help="CLIP merges.txt")
+    g.add_argument("--spm", default=None,
+                   help="T5 SentencePiece model file (spiece.model)")
+    g.add_argument("--offload-text-encoders", action="store_true",
+                   help="free CLIP/T5 HBM after conditioning (16GB plan)")
+    g.add_argument("--save-trajectory", action="store_true",
+                   help="also save a grid of per-step latent RGB previews")
     g.add_argument("--out", default="sd3_out.png")
     args = ap.parse_args(argv)
 
@@ -36,29 +52,65 @@ def main(argv=None):
     from ..pipelines.sd3 import SD3Inferencer, SD3Models
 
     if args.ckpt:
-        raise SystemExit(
-            "safetensors weight import for SD3 lands with the checkpoint "
-            "mapping tables (io.weights.sd3_*); config sniffing is in "
-            "pipelines.sd3.sniff_mmdit_config")
-    print("[sd3] no --ckpt: scaled-down random weights (smoke-test mode)")
-    models = SD3Models.initialize(jax.random.key(0), depth=4,
-                                  pos_embed_max_size=96, with_t5=False)
-    inf = SD3Inferencer(models, shift=args.shift)
+        print(f"[sd3] loading checkpoints: {args.ckpt}", file=sys.stderr)
+        models = SD3Models.from_checkpoints(
+            args.ckpt, clip_l_path=args.clip_l, clip_g_path=args.clip_g,
+            t5_path=args.t5)
+    else:
+        print("[sd3] no --ckpt: scaled-down random weights (smoke-test "
+              "mode)", file=sys.stderr)
+        models = SD3Models.initialize(jax.random.key(0), depth=4,
+                                      pos_embed_max_size=96, with_t5=False)
 
+    tokenizer = None
     if args.vocab and args.merges:
+        from ..io.spm_tokenizer import SD3Tokenizer, T5XXLTokenizer
         from ..io.tokenizer import CLIPTokenizer
 
-        tok = CLIPTokenizer.from_files(args.vocab, args.merges)
-        clip_tokens = np.asarray([tok.encode(args.prompt)], np.int32)
-        neg_tokens = np.asarray([tok.encode(args.neg_prompt)], np.int32)
-    else:
-        clip_tokens = np.zeros((1, 77), np.int32)
-        neg_tokens = np.zeros((1, 77), np.int32)
+        clip_tok = CLIPTokenizer.from_files(args.vocab, args.merges)
+        if args.spm:
+            t5_tok = T5XXLTokenizer.from_file(args.spm)
+        else:
+            # no spiece.model: T5 sees only the empty-prompt tokens
+            from ..io.spm_tokenizer import (NORMAL, UNKNOWN, CONTROL,
+                                            SentencePieceUnigram)
 
-    img = inf.gen_image(clip_tokens, neg_clip_tokens=neg_tokens,
-                        width=args.width, height=args.height,
-                        steps=args.steps, cfg_scale=args.cfg_scale,
-                        seed=args.seed)
+            t5_tok = T5XXLTokenizer(SentencePieceUnigram(
+                [("<pad>", 0.0, CONTROL), ("</s>", 0.0, CONTROL),
+                 ("<unk>", 0.0, UNKNOWN)]))
+        tokenizer = SD3Tokenizer(clip_tok, t5_tok)
+
+    inf = SD3Inferencer(models, shift=args.shift, tokenizer=tokenizer)
+    kwargs = dict(width=args.width, height=args.height, steps=args.steps,
+                  cfg_scale=args.cfg_scale, seed=args.seed,
+                  offload_text_encoders=args.offload_text_encoders,
+                  keep_trajectory=args.save_trajectory)
+
+    if tokenizer is not None:
+        out = inf.gen_image_text(args.prompt, args.neg_prompt, **kwargs)
+    else:
+        print("[sd3] no tokenizer files: deterministic placeholder token "
+              "ids (smoke-test plumbing only)", file=sys.stderr)
+        rng = np.random.default_rng(abs(hash(args.prompt)) % 2**32)
+        clip_tokens = rng.integers(0, 49408, (1, 77)).astype(np.int32)
+        neg_tokens = np.zeros((1, 77), np.int32)
+        out = inf.gen_image(clip_tokens, neg_clip_tokens=neg_tokens,
+                            **kwargs)
+
+    if args.save_trajectory:
+        img, previews = out
+        cols = min(len(previews), 10)
+        rows = -(-len(previews) // cols)
+        h, w = previews.shape[1:3]
+        grid = np.zeros((rows * h, cols * w, 3), np.uint8)
+        for i, p in enumerate(previews):
+            r, c = divmod(i, cols)
+            grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = p
+        traj_path = args.out.rsplit(".", 1)[0] + "_trajectory.png"
+        Image.fromarray(grid).save(traj_path)
+        print(f"wrote {traj_path}")
+    else:
+        img = out
     Image.fromarray(np.asarray(img[0])).save(args.out)
     print(f"wrote {args.out}")
     return 0

@@ -2,3 +2,6 @@
 
 from .data import (IMAGENET_MEANS, IMAGENET_STDS, DataLoader,
                    ImageFolderDataset, SyntheticImageDataset, denormalize)
+from .spm_tokenizer import (SD3Tokenizer, SentencePieceUnigram,
+                            T5XXLTokenizer)
+from .tokenizer import CLIPTokenizer

@@ -12,9 +12,12 @@ TPU-native re-design of /root/reference/02_stable_diffusion-3/sd3_infer.py:
   scan, latent-format shift/scale, VAE decode (sd3_infer.py:240-405).
 
 The reference's per-phase `.cuda()/.cpu()` offload choreography
-(sd3_infer.py:324-375) becomes phase-scoped params: each phase's weights
-are donated/dropped after use — on a 16GB v5e the bf16 MMDiT-medium + VAE
-are resident while the text encoders free their HBM after conditioning.
+(sd3_infer.py:324-375) becomes phase-scoped params: with
+``offload_text_encoders=True`` the text-encoder param groups are dropped
+(their HBM buffers freed) once conditioning is computed — on a 16GB v5e the
+bf16 MMDiT-medium + VAE stay resident through denoise/decode while T5-XXL's
+~9.4GB is reclaimed. ``SD3Models.free`` is the primitive;
+``SD3Models.hbm_bytes_live`` reports the device high-water evidence.
 """
 
 from __future__ import annotations
@@ -144,28 +147,83 @@ class SD3Models:
             params["t5"] = t5.init(ks[5], jnp.zeros((1, 77), jnp.int32))["params"]
         return cls(mmdit, vae_e, vae_d, clip_l, clip_g, t5, params)
 
+    def free(self, *names: str) -> None:
+        """Drop param groups and delete their device buffers — the TPU
+        equivalent of the reference's ``model.cpu()`` phase offload
+        (sd3_infer.py:324-375). Dropping the last reference releases the
+        HBM allocation immediately (no GC cycle on jax.Array buffers)."""
+        for name in names:
+            group = self.params.pop(name, None)
+            if group is not None:
+                for leaf in jax.tree_util.tree_leaves(group):
+                    if isinstance(leaf, jax.Array):
+                        leaf.delete()
+
+    def free_text_encoders(self) -> None:
+        self.free("clip_l", "clip_g", "t5")
+
+    @staticmethod
+    def hbm_bytes_live() -> Optional[int]:
+        """Device bytes currently allocated (None if the backend does not
+        expose memory_stats, e.g. CPU)."""
+        stats = jax.local_devices()[0].memory_stats()
+        return None if stats is None else stats.get("bytes_in_use")
+
 
 class SD3Inferencer:
-    """gen_image: prompts (token ids) → uint8 images."""
+    """gen_image: prompt strings (with a tokenizer) or token ids → uint8
+    images, mirroring the reference's prompt-in image-out surface
+    (sd3_infer.py:383-405)."""
 
-    def __init__(self, models: SD3Models, shift: float = 3.0):
+    def __init__(self, models: SD3Models, shift: float = 3.0,
+                 tokenizer=None):
+        """``tokenizer``: an ``io.spm_tokenizer.SD3Tokenizer`` (CLIP + T5
+        trio). Required for the text-prompt entry points only."""
         self.models = models
         self.shift = shift
+        self.tokenizer = tokenizer
 
     def get_empty_latent(self, width: int, height: int) -> jax.Array:
         return jnp.ones((1, height // 8, width // 8, 16)) * 0.0609
 
+    # -- tokenization ------------------------------------------------------
+    def tokenize(self, text: str):
+        """(clip_l_ids, clip_g_ids, t5_ids) each (1, 77) int32."""
+        if self.tokenizer is None:
+            raise ValueError(
+                "text prompts need a tokenizer: pass io.spm_tokenizer."
+                "SD3Tokenizer(clip_tok, t5_tok) to SD3Inferencer")
+        streams = self.tokenizer.encode(text)
+        return (np.asarray([streams["l"]], np.int32),
+                np.asarray([streams["g"]], np.int32),
+                np.asarray([streams["t5xxl"]], np.int32))
+
+    @staticmethod
+    def empty_t5_tokens(batch: int = 1, length: int = 77) -> np.ndarray:
+        """Token ids of the EMPTY prompt for T5: [</s>=1, 0, 0, …]. The
+        reference encodes "" *through* T5 for the negative conditioning
+        (sd3_infer.py:306-309) — its embeddings are non-zero, so CFG
+        diverges if the T5 slot is zero-filled instead."""
+        ids = np.zeros((batch, length), np.int32)
+        ids[:, 0] = 1
+        return ids
+
     def get_cond(self, clip_tokens: np.ndarray,
-                 t5_tokens: Optional[np.ndarray]):
-        """clip_tokens: (B, 77) used for both CLIP-L and CLIP-G;
-        t5_tokens: (B, 77) or None. Returns (context, pooled)."""
+                 t5_tokens: Optional[np.ndarray],
+                 clip_g_tokens: Optional[np.ndarray] = None):
+        """clip_tokens: (B, 77) for CLIP-L (and CLIP-G unless
+        ``clip_g_tokens`` is given — the trio tokenizer pads L with EOS but
+        G with 0); t5_tokens: (B, 77) or None. Returns (context, pooled)."""
         m = self.models
         toks = jnp.asarray(clip_tokens)
+        toks_g = toks if clip_g_tokens is None else jnp.asarray(clip_g_tokens)
         _, l_hidden, l_pooled = m.clip_l.apply(
             {"params": m.params["clip_l"]}, toks)
         _, g_hidden, g_pooled = m.clip_g.apply(
-            {"params": m.params["clip_g"]}, toks)
-        if m.t5 is not None and t5_tokens is not None:
+            {"params": m.params["clip_g"]}, toks_g)
+        if m.t5 is not None:
+            if t5_tokens is None:
+                t5_tokens = self.empty_t5_tokens(toks.shape[0])
             t5_out = m.t5.apply({"params": m.params["t5"]},
                                 jnp.asarray(t5_tokens))
         else:
@@ -174,10 +232,17 @@ class SD3Inferencer:
         return assemble_sd3_cond(l_hidden, l_pooled, g_hidden, g_pooled,
                                  t5_out)
 
+    def get_cond_text(self, text: str):
+        l_ids, g_ids, t5_ids = self.tokenize(text)
+        return self.get_cond(l_ids, t5_ids, clip_g_tokens=g_ids)
+
     def denoise(self, latent, context, pooled, neg_context, neg_pooled,
                 steps: int = 50, cfg_scale: float = 5.0,
-                seed: int = 1, denoise_strength: float = 1.0):
-        """Noise + rectified-flow Euler scan with batched CFG."""
+                seed: int = 1, denoise_strength: float = 1.0,
+                keep_trajectory: bool = False):
+        """Noise + rectified-flow Euler scan with batched CFG. With
+        ``keep_trajectory`` also returns every intermediate latent, like
+        the reference sampler (utils.py:48-49)."""
         from ..ops.schedules import sd3_sigma_schedule
 
         m = self.models
@@ -202,7 +267,8 @@ class SD3Inferencer:
             return neg + (pos - neg) * cfg_scale
 
         return flow_euler_sample(denoise_fn, x, steps=len(sigmas) - 1,
-                                 shift=self.shift, sigmas=np.asarray(sigmas))
+                                 shift=self.shift, sigmas=np.asarray(sigmas),
+                                 keep_trajectory=keep_trajectory)
 
     def vae_decode(self, latent) -> np.ndarray:
         m = self.models
@@ -227,18 +293,54 @@ class SD3Inferencer:
                   width: int = 1024, height: int = 1024,
                   steps: int = 50, cfg_scale: float = 5.0, seed: int = 1,
                   init_image: Optional[np.ndarray] = None,
-                  denoise_strength: float = 1.0) -> np.ndarray:
+                  denoise_strength: float = 1.0,
+                  offload_text_encoders: bool = False,
+                  keep_trajectory: bool = False,
+                  clip_g_tokens: Optional[np.ndarray] = None,
+                  neg_clip_g_tokens: Optional[np.ndarray] = None):
+        """Token-id entry point. ``offload_text_encoders`` frees the CLIP/T5
+        param groups once conditioning is on device (the 16GB single-chip
+        plan — ref sd3_infer.py:324-375); the inferencer is single-shot
+        afterwards unless new text params are loaded. ``keep_trajectory``
+        additionally returns RGB previews of every intermediate latent
+        (ref decodes all 50: sd3_infer.py:400-403; here via the cheap
+        latent→RGB preview matrix instead of 50 full VAE decodes)."""
         if neg_clip_tokens is None:
             neg_clip_tokens = np.zeros_like(clip_tokens)
-        context, pooled = self.get_cond(clip_tokens, t5_tokens)
-        neg_context, neg_pooled = self.get_cond(neg_clip_tokens,
-                                                neg_t5_tokens)
+        context, pooled = self.get_cond(clip_tokens, t5_tokens,
+                                        clip_g_tokens=clip_g_tokens)
+        neg_context, neg_pooled = self.get_cond(
+            neg_clip_tokens, neg_t5_tokens,
+            clip_g_tokens=neg_clip_g_tokens)
+        if offload_text_encoders:
+            (context, pooled, neg_context, neg_pooled) = jax.block_until_ready(
+                (context, pooled, neg_context, neg_pooled))
+            self.models.free_text_encoders()
         if init_image is not None:
             latent = self.vae_encode(init_image,
                                      jax.random.key(seed + 1))
         else:
             latent = self.get_empty_latent(width, height)
-        latent = self.denoise(latent, context, pooled, neg_context,
-                              neg_pooled, steps, cfg_scale, seed,
-                              denoise_strength)
-        return self.vae_decode(latent)
+        out = self.denoise(latent, context, pooled, neg_context,
+                           neg_pooled, steps, cfg_scale, seed,
+                           denoise_strength,
+                           keep_trajectory=keep_trajectory)
+        if keep_trajectory:
+            latent, traj = out
+            previews = np.asarray(
+                SD3LatentFormat.decode_latent_to_preview(
+                    traj.reshape((-1,) + traj.shape[2:])))
+            return self.vae_decode(latent), previews
+        return self.vae_decode(out)
+
+    def gen_image_text(self, prompt: str, neg_prompt: str = "",
+                       **kwargs) -> np.ndarray:
+        """Prompt-string entry point (ref gen_image, sd3_infer.py:383-405):
+        fan the prompt through the CLIP-L/CLIP-G/T5 tokenizer trio, encode
+        the (possibly empty) negative prompt through the same stack."""
+        l_ids, g_ids, t5_ids = self.tokenize(prompt)
+        nl_ids, ng_ids, nt5_ids = self.tokenize(neg_prompt)
+        return self.gen_image(
+            l_ids, t5_tokens=t5_ids, neg_clip_tokens=nl_ids,
+            neg_t5_tokens=nt5_ids, clip_g_tokens=g_ids,
+            neg_clip_g_tokens=ng_ids, **kwargs)

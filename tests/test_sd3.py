@@ -152,15 +152,12 @@ def test_sniff_mmdit_config():
     assert cfg.qk_norm is None
 
 
-def test_sd3_pipeline_end_to_end_tiny():
-    from from_ddpm_to_stable_diffusion_tpu.models.text_encoders import T5Config
-    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import (SD3Inferencer,
-                                                                 SD3Models)
-    from from_ddpm_to_stable_diffusion_tpu.models.text_encoders import (
-        CLIPTextConfig)
+def _tiny_sd3_models(with_t5=True):
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Models
 
-    models = SD3Models.initialize(
+    return SD3Models.initialize(
         jax.random.key(0), dtype="fp32", depth=2, pos_embed_max_size=16,
+        with_t5=with_t5,
         clip_l_cfg=CLIPTextConfig(vocab_size=64, hidden_size=768,
                                   num_layers=2, num_heads=4),
         clip_g_cfg=CLIPTextConfig(vocab_size=64, hidden_size=1280,
@@ -168,9 +165,135 @@ def test_sd3_pipeline_end_to_end_tiny():
                                   hidden_act="gelu"),
         t5_config=T5Config(vocab_size=64, d_model=4096, d_ff=64,
                            num_layers=1, num_heads=4))
-    inf = SD3Inferencer(models, shift=3.0)
+
+
+def _tiny_sd3_tokenizer(clip_vocab_size=64):
+    """Tokenizer trio whose ids stay inside the tiny test vocabularies."""
+    from from_ddpm_to_stable_diffusion_tpu.io.spm_tokenizer import (
+        CONTROL, NORMAL, UNKNOWN, SD3Tokenizer, SentencePieceUnigram,
+        T5XXLTokenizer)
+    from from_ddpm_to_stable_diffusion_tpu.io.tokenizer import CLIPTokenizer
+
+    # CLIP side: single-byte vocab, ids < 64 by construction
+    table_chars = "abcdefghijklmnopqrstuvwxyz "
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for ch in table_chars:
+        vocab.setdefault(ch, len(vocab))
+        vocab.setdefault(ch + "</w>", len(vocab))
+    clip = CLIPTokenizer(vocab, merges={})
+    spm = SentencePieceUnigram([
+        ("<pad>", 0.0, CONTROL), ("</s>", 0.0, CONTROL),
+        ("<unk>", 0.0, UNKNOWN), ("▁cat", -1.0, NORMAL),
+        ("▁a", -1.0, NORMAL), ("▁", -2.0, NORMAL)])
+    return SD3Tokenizer(clip, T5XXLTokenizer(spm))
+
+
+def test_sd3_pipeline_end_to_end_tiny():
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    inf = SD3Inferencer(_tiny_sd3_models(), shift=3.0)
     tokens = np.zeros((1, 77), np.int32)
     img = inf.gen_image(tokens, t5_tokens=tokens, width=128, height=128,
                         steps=2, cfg_scale=5.0, seed=1)
     assert img.shape == (1, 128, 128, 3)
     assert img.dtype == np.uint8
+
+
+def test_sd3_prompt_to_image_text_path():
+    """Prompt strings in, PNG-ready uint8 out (ref sd3_infer.py:383-405)."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    inf = SD3Inferencer(_tiny_sd3_models(), shift=3.0,
+                        tokenizer=_tiny_sd3_tokenizer())
+    img = inf.gen_image_text("a cat", width=64, height=64, steps=2, seed=1)
+    assert img.shape == (1, 64, 64, 3) and img.dtype == np.uint8
+    # determinism: same prompt+seed → same image
+    img2 = inf.gen_image_text("a cat", width=64, height=64, steps=2, seed=1)
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_sd3_empty_negative_goes_through_t5():
+    """The empty negative prompt must be ENCODED by T5 (non-zero
+    embeddings), not zero-filled (ref sd3_infer.py:306-309)."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    inf = SD3Inferencer(_tiny_sd3_models(), shift=3.0)
+    tokens = np.zeros((1, 77), np.int32)
+    ctx, _ = inf.get_cond(tokens, t5_tokens=None)  # default: empty prompt
+    t5_slice = np.asarray(ctx)[:, 77:, :]
+    assert np.abs(t5_slice).max() > 0
+
+
+def test_sd3_offload_frees_text_encoders():
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    models = _tiny_sd3_models()
+    inf = SD3Inferencer(models, shift=3.0)
+    tokens = np.zeros((1, 77), np.int32)
+    img = inf.gen_image(tokens, t5_tokens=tokens, width=64, height=64,
+                        steps=2, seed=1, offload_text_encoders=True)
+    assert img.shape == (1, 64, 64, 3)
+    for group in ("clip_l", "clip_g", "t5"):
+        assert group not in models.params  # HBM reclaimed
+    assert "mmdit" in models.params  # denoise weights stay resident
+
+
+def test_sd3_from_checkpoints_file_end_to_end(tmp_path):
+    """The CLI --ckpt path: write a synthetic tiny sd3 .safetensors (MMDiT
+    + both VAE halves under the reference key layout), load it through
+    SD3Models.from_checkpoints (config shape-sniffed), denoise + decode."""
+    from safetensors.numpy import save_file
+
+    from from_ddpm_to_stable_diffusion_tpu.io import weights_sd3 as W3
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+    from from_ddpm_to_stable_diffusion_tpu.models.sd3_vae import (
+        SD3VAEDecoder, SD3VAEEncoder)
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import (
+        SD3Inferencer, SD3Models)
+    from tests.test_weights import _invert, _tree_paths
+
+    def torch_state(model, init_args, rules, prefix):
+        params = model.init(jax.random.key(0), *init_args)["params"]
+        shapes = _tree_paths(jax.tree_util.tree_map(np.asarray, params))
+        return {prefix + k: np.asarray(v, np.float32)
+                for k, v in _invert(rules, shapes).items()}
+
+    cfg = MMDiTConfig(depth=2, pos_embed_max_size=16)
+    state = {}
+    state.update(torch_state(
+        MMDiT(cfg),
+        (jnp.zeros((1, 16, 16, 16)), jnp.zeros((1,)), jnp.zeros((1, 2048)),
+         jnp.zeros((1, 154, 4096))),
+        W3.sd3_mmdit_rules(depth=2, qk_norm=False),
+        "model.diffusion_model."))
+    state.update(torch_state(
+        SD3VAEEncoder(), (jnp.zeros((1, 32, 32, 3)),),
+        W3.sd3_vae_encoder_rules(), "first_stage_model.encoder."))
+    state.update(torch_state(
+        SD3VAEDecoder(), (jnp.zeros((1, 4, 4, 16)),),
+        W3.sd3_vae_decoder_rules(), "first_stage_model.decoder."))
+    path = str(tmp_path / "sd3_tiny.safetensors")
+    save_file(state, path)
+
+    models = SD3Models.from_checkpoints(path, dtype="fp32")
+    assert models.mmdit.config.depth == 2  # sniffed from tensor shapes
+    inf = SD3Inferencer(models, shift=3.0)
+    ctx = jnp.zeros((1, 154, 4096))
+    pooled = jnp.zeros((1, 2048))
+    latent = inf.denoise(inf.get_empty_latent(64, 64), ctx, pooled, ctx,
+                         pooled, steps=2, seed=1)
+    img = inf.vae_decode(latent)
+    assert img.shape == (1, 64, 64, 3) and img.dtype == np.uint8
+
+
+def test_sd3_keep_trajectory_previews():
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    inf = SD3Inferencer(_tiny_sd3_models(with_t5=False), shift=3.0)
+    tokens = np.zeros((1, 77), np.int32)
+    img, previews = inf.gen_image(tokens, width=64, height=64, steps=3,
+                                  seed=1, keep_trajectory=True)
+    assert img.shape == (1, 64, 64, 3)
+    assert previews.shape == (3, 8, 8, 3)  # one RGB preview per step
+    assert previews.dtype == np.uint8

@@ -63,51 +63,61 @@ def bench_tiny_sd_train(iters: int = 20, warmup: int = 3):
     return imgs_per_sec, step_ms
 
 
-def bench_sd1_denoise_step(iters: int = 10, warmup: int = 2):
-    """SD1 north-star: one CFG denoise step (UNet fwd ×2-batch + k-LMS
-    update) at 512×512, bf16, flash attention."""
-    import functools
+def bench_sd1_pipeline(iters: int = 3, steps: int = 50):
+    """SD1 north-star, MEASURED end to end: the shipped SD1Generator
+    pipeline (CLIP encode → 50 k-LMS CFG denoise steps → VAE decode →
+    uint8 on host) at the reference op point 512×512/CFG 7.5/k-LMS
+    (ref 01_.../01_check.py:14-16). Returns (imgs/sec, ms/denoise-step)."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import (SD1Generator,
+                                                                 SD1Models)
 
-    from from_ddpm_to_stable_diffusion_tpu.models.sd1 import SD1UNet
-    from from_ddpm_to_stable_diffusion_tpu.ops.embeddings import sd1_time_embedding
-
-    unet = SD1UNet(dtype=jnp.bfloat16)
-    x = jnp.zeros((1, 64, 64, 4), jnp.float32)
-    ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
-    t = jnp.zeros((1, 320))
-    params = jax.jit(unet.init)(jax.random.key(0), x, ctx[:1], t)
+    models = SD1Models.initialize(jax.random.key(0), dtype="bf16")
     n_params = sum(int(np.prod(p.shape))
-                   for p in jax.tree_util.tree_leaves(params))
+                   for p in jax.tree_util.tree_leaves(models.params["unet"]))
     print(f"[bench] SD1 UNet params: {n_params:,}", file=sys.stderr)
+    gen = SD1Generator(models, n_inference_steps=steps)
 
-    coeff = jnp.float32(0.1)
-
-    @jax.jit
-    def denoise_step(params, latents, timestep):
-        t_feat = sd1_time_embedding(timestep[None])
-        xx = jnp.concatenate([latents, latents], axis=0)
-        tt = jnp.broadcast_to(t_feat, (2, 320))
-        out = unet.apply(params, xx, ctx, tt)
-        cond, uncond = jnp.split(out, 2, axis=0)
-        eps = uncond + 7.5 * (cond - uncond)
-        return latents + coeff * eps  # stand-in sampler update
-
-    latents = jax.random.normal(jax.random.key(1), (1, 64, 64, 4))
     t0 = time.perf_counter()
-    for i in range(warmup):
-        latents = denoise_step(params, latents, jnp.float32(999 - i))
-    float(jnp.sum(latents))  # host transfer: honest sync
-    print(f"[bench] sd1 warmup+compile: {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
+    img = gen(["a photograph of an astronaut riding a horse"], seed=42)
+    assert img.shape == (1, 512, 512, 3) and img.dtype == np.uint8
+    print(f"[bench] sd1 pipeline warmup+compile: "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
     t0 = time.perf_counter()
     for i in range(iters):
-        latents = denoise_step(params, latents, jnp.float32(900 - i))
-    float(jnp.sum(latents))
-    step_ms = (time.perf_counter() - t0) / iters * 1e3
-    print(f"[bench] sd1 denoise step: {step_ms:.1f} ms "
-          f"({1000.0 / (step_ms * 50):.3f} imgs/sec at 50 steps)",
+        img = gen(["a photograph of an astronaut riding a horse"],
+                  seed=100 + i)  # returns np.ndarray — host-synced
+    dt = time.perf_counter() - t0
+    imgs_per_sec = iters / dt
+    per_image_s = dt / iters
+    print(f"[bench] sd1 pipeline: {per_image_s:.2f} s/image "
+          f"({imgs_per_sec:.3f} imgs/sec, incl. CLIP + {steps} steps + VAE "
+          f"decode)", file=sys.stderr)
+
+    # per-denoise-step cost of the SAME compiled executable the pipeline
+    # uses (diagnostic; the pipeline number above is the contract)
+    from from_ddpm_to_stable_diffusion_tpu.samplers.k_samplers import (
+        make_sampler_body)
+
+    _, make_carry, _ = make_sampler_body(lambda x, t: x, gen.cfg,
+                                         rng=jax.random.key(0),
+                                         tables=gen.tables)
+    latents = jax.random.normal(jax.random.key(1), (1, 64, 64, 4))
+    ctx = gen._clip(models.params["clip"], jnp.zeros((2, 77), jnp.int32))
+    state = (make_carry(latents), ctx, jax.random.key(0))
+    step = gen._get_step(1)
+    up = models.params["unet"]
+    state, _ = step(up, state, jnp.int32(0))  # executable cache is warm
+    float(jnp.sum(state[0][0]))
+    n = 20
+    t0 = time.perf_counter()
+    for i in range(1, n + 1):
+        state, _ = step(up, state, jnp.int32(min(i, steps - 1)))
+    float(jnp.sum(state[0][0]))
+    step_ms = (time.perf_counter() - t0) / n * 1e3
+    print(f"[bench] sd1 denoise step (pipeline executable): {step_ms:.1f} ms",
           file=sys.stderr)
-    return step_ms
+    return imgs_per_sec, step_ms
 
 
 def bench_sd3_denoise_step(iters: int = 10):
@@ -151,16 +161,16 @@ def bench_sd3_denoise_step(iters: int = 10):
 
 def main():
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
-    sd1_step_ms = bench_sd1_denoise_step()
+    sd1_imgs_per_sec, sd1_step_ms = bench_sd1_pipeline()
     sd3_step_ms = bench_sd3_denoise_step()
     imgs_per_sec, step_ms = bench_tiny_sd_train()
     print(json.dumps({
-        "metric": "sd1_denoise_step_ms_512px_cfg_bf16",
-        "value": round(sd1_step_ms, 2),
-        "unit": "ms/step",
+        "metric": "sd1_pipeline_imgs_per_sec_512px_50step_cfg_bf16",
+        "value": round(sd1_imgs_per_sec, 4),
+        "unit": "imgs/sec/chip",
         "vs_baseline": None,
         "extra": {
-            "sd1_imgs_per_sec_50step": round(1000.0 / (sd1_step_ms * 50), 4),
+            "sd1_denoise_step_ms": round(sd1_step_ms, 2),
             "sd3_medium_denoise_step_ms_1024px_cfg_bf16": round(sd3_step_ms, 2),
             "tiny_sd_train_imgs_per_sec": round(imgs_per_sec, 2),
             "tiny_sd_train_step_ms": round(step_ms, 2),

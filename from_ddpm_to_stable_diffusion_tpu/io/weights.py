@@ -274,6 +274,109 @@ def _sequential_rules(seq) -> List[Tuple[str, str, Callable]]:
 
 
 # --------------------------------------------------------------------------
+# SDXL-VAE (diffusers AutoencoderKL) — same architecture as the SD1 VAE,
+# different key layout. The reference compares its VQ-VAE against this model
+# (03_variational_autoencoder/01_check.py:20-41) and encodes stage-06 latent
+# training through it (06_.../03_train_with_vae.py:69).
+# --------------------------------------------------------------------------
+def _diffusers_vae_res(torch_p: str, flax_p: str
+                       ) -> List[Tuple[str, str, Callable]]:
+    out = []
+    out += _prefix(_norm("norm1"), f"{torch_p}.norm1", flax_p)
+    out += _prefix(_conv("conv1"), f"{torch_p}.conv1", flax_p)
+    out += _prefix(_norm("norm2"), f"{torch_p}.norm2", flax_p)
+    out += _prefix(_conv("conv2"), f"{torch_p}.conv2", flax_p)
+    out += _prefix(_conv("skip"), f"{torch_p}.conv_shortcut", flax_p)
+    return out
+
+
+def _diffusers_vae_att(torch_p: str, flax_p: str
+                       ) -> List[Tuple[str, str, Callable]]:
+    """to_q/to_k/to_v are fused by fuse_diffusers_vae_attn first."""
+    return (_prefix(_norm("norm"), f"{torch_p}.group_norm", flax_p)
+            + [(f"{torch_p}.qkv_fused.weight", f"{flax_p}/attn/qkv/kernel",
+                t_dense),
+               (f"{torch_p}.qkv_fused.bias", f"{flax_p}/attn/qkv/bias",
+                t_none),
+               (f"{torch_p}.to_out.0.weight", f"{flax_p}/attn/out/kernel",
+                t_dense),
+               (f"{torch_p}.to_out.0.bias", f"{flax_p}/attn/out/bias",
+                t_none)])
+
+
+def fuse_diffusers_vae_attn(state: Dict[str, np.ndarray],
+                            prefix: str) -> None:
+    """Concat diffusers' separate to_q/to_k/to_v Linears into one fused
+    qkv tensor in place (row order q|k|v matches our split convention)."""
+    for part in ("weight", "bias"):
+        qs = [state.pop(f"{prefix}.to_{x}.{part}", None) for x in "qkv"]
+        if qs[0] is not None:
+            state[f"{prefix}.qkv_fused.{part}"] = np.concatenate(qs, axis=0)
+
+
+def sdxl_vae_encoder_rules() -> List[Tuple[str, str, Callable]]:
+    r: List[Tuple[str, str, Callable]] = []
+    r += _prefix(_conv("conv_in"), "encoder.conv_in", "")
+    for level in range(4):
+        for block in range(2):
+            r += _diffusers_vae_res(
+                f"encoder.down_blocks.{level}.resnets.{block}",
+                f"res{2 * level + block}")
+        if level < 3:
+            r += _prefix(_conv(f"down{level}"),
+                         f"encoder.down_blocks.{level}.downsamplers.0.conv",
+                         "")
+    r += _diffusers_vae_res("encoder.mid_block.resnets.0", "res8")
+    r += _diffusers_vae_att("encoder.mid_block.attentions.0", "mid_attn")
+    r += _diffusers_vae_res("encoder.mid_block.resnets.1", "res9")
+    r += _prefix(_norm("norm_out"), "encoder.conv_norm_out", "")
+    r += _prefix(_conv("conv_out"), "encoder.conv_out", "")
+    r += _prefix(_conv("conv_quant"), "quant_conv", "")
+    return r
+
+
+def sdxl_vae_decoder_rules() -> List[Tuple[str, str, Callable]]:
+    r: List[Tuple[str, str, Callable]] = []
+    r += _prefix(_conv("conv_in1"), "post_quant_conv", "")
+    r += _prefix(_conv("conv_in2"), "decoder.conv_in", "")
+    r += _diffusers_vae_res("decoder.mid_block.resnets.0", "res0")
+    r += _diffusers_vae_att("decoder.mid_block.attentions.0", "mid_attn")
+    r += _diffusers_vae_res("decoder.mid_block.resnets.1", "res1")
+    for level in range(4):
+        for block in range(3):
+            r += _diffusers_vae_res(
+                f"decoder.up_blocks.{level}.resnets.{block}",
+                f"res{2 + 3 * level + block}")
+        if level < 3:
+            r += _prefix(_conv(f"up{level}_conv"),
+                         f"decoder.up_blocks.{level}.upsamplers.0.conv", "")
+    r += _prefix(_norm("norm_out"), "decoder.conv_norm_out", "")
+    r += _prefix(_conv("conv_out"), "decoder.conv_out", "")
+    return r
+
+
+def import_sdxl_vae(path: str):
+    """Load a diffusers AutoencoderKL .safetensors (e.g. sdxl-vae) into the
+    (VAEEncoder params, VAEDecoder params) pair for models.sd1.
+
+    Scaling note: this module pair applies the SD1 latent scale 0.18215 on
+    both sides (it cancels on encode→decode roundtrips); diffusers applies
+    the SDXL factor 0.13025 externally. Latent-space consumers that need
+    diffusers-exact latents must rescale by 0.13025/0.18215.
+    """
+    state = load_safetensors_dict(path)
+    fuse_diffusers_vae_attn(state, "encoder.mid_block.attentions.0")
+    fuse_diffusers_vae_attn(state, "decoder.mid_block.attentions.0")
+    enc_keys = {k: v for k, v in state.items()
+                if k.startswith(("encoder.", "quant_conv."))}
+    dec_keys = {k: v for k, v in state.items()
+                if k.startswith(("decoder.", "post_quant_conv."))}
+    enc = apply_rules(enc_keys, sdxl_vae_encoder_rules())
+    dec = apply_rules(dec_keys, sdxl_vae_decoder_rules())
+    return enc, dec
+
+
+# --------------------------------------------------------------------------
 # Application
 # --------------------------------------------------------------------------
 def make_compatible(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

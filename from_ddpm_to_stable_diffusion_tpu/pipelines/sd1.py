@@ -30,7 +30,8 @@ import numpy as np
 from ..models.sd1 import CLIPText, SD1UNet, VAEDecoder, VAEEncoder
 from ..ops import embeddings as emb_ops
 from ..ops.image import rescale, to_uint8
-from ..samplers.k_samplers import KSamplerConfig, k_sampler_scan, sigma_tables
+from ..samplers.k_samplers import (KSamplerConfig, k_sampler_scan,
+                                   make_sampler_body, sigma_tables)
 from ..utils.dtypes import POLICIES
 
 SAMPLERS = ("k_lms", "k_euler", "k_euler_ancestral")
@@ -108,11 +109,17 @@ def generate(
     n_inference_steps: int = 50,
     seed: Optional[int] = None,
     return_latents: bool = False,
+    loop: str = "scan",
 ):
     """Text→image (or image→image when ``input_images`` given).
 
     Returns uint8 images (B, H, W, 3). Argument validation mirrors
-    reference pipeline.py:74-91.
+    reference pipeline.py:74-91. ``loop="jit_step"`` drives the sampler
+    from a host loop with a once-compiled step (see k_sampler_scan).
+
+    This function retraces per call and bakes params into the program as
+    constants — fine for tests and one-offs. The production/serving path
+    is ``SD1Generator`` (compile-once, params as runtime arguments).
     """
     if not isinstance(prompts, (list, tuple)) or not prompts:
         raise ValueError("prompts must be a non-empty list or tuple")
@@ -178,7 +185,7 @@ def generate(
                                  x, context, tt)
 
     latents = k_sampler_scan(denoise_fn, latents, cfg, rng=anc_key,
-                             tables=tables)
+                             tables=tables, loop=loop)
     if return_latents:
         return latents
 
@@ -186,3 +193,112 @@ def generate(
     images = models.decoder.apply({"params": models.params["decoder"]},
                                   latents)
     return np.asarray(to_uint8(images))
+
+
+class SD1Generator:
+    """Compile-once, call-many text→image pipeline.
+
+    ``generate()`` retraces its stages every call (fine for one-offs and
+    tests); production serving wants the CLIP encode, the denoise step, and
+    the VAE decode compiled ONCE and reused across requests. This wrapper
+    pins the op point (size, steps, sampler, CFG) at construction, jits the
+    three stages, and drives the sampler from a host loop with a donated
+    carry — the full trajectory never enters one giant XLA program, so
+    first-call compile stays minutes-not-hours on the v5e remote-compile
+    tunnel while steady-state throughput matches the scan (per-step
+    dispatch ≈0.1ms against a ~20ms step).
+
+    Same public contract as reference pipeline.py:11-207 generate(),
+    restricted to txt2img.
+    """
+
+    def __init__(self, models: SD1Models, tokenizer=None,
+                 sampler: str = "k_lms", n_inference_steps: int = 50,
+                 do_cfg: bool = True, cfg_scale: float = 7.5,
+                 height: int = 512, width: int = 512):
+        if sampler not in SAMPLERS:
+            raise ValueError(f"unknown sampler value {sampler!r}")
+        if height % 8 or width % 8:
+            raise ValueError("height and width must be multiples of 8")
+        self.models = models
+        self.tokenizer = tokenizer
+        self.do_cfg = do_cfg
+        self.cfg_scale = cfg_scale
+        self.height, self.width = height, width
+        self.cfg = KSamplerConfig(method=sampler,
+                                  n_inference_steps=n_inference_steps)
+        self.tables = sigma_tables(self.cfg)
+
+        self._clip = jax.jit(lambda p, toks: models.clip.apply(
+            {"params": p}, toks))
+        self._decode = jax.jit(lambda p, z: to_uint8(
+            models.decoder.apply({"params": p}, z)))
+        # the jitted sampler step is built lazily per (batch, rng) — the
+        # denoise body closes over the text context, which changes per call,
+        # so context rides in the carry to keep ONE compiled executable
+        self._step_cache = {}
+
+    def _denoise_fn(self, unet_params, x, timestep, context):
+        b = x.shape[0]
+        t_feat = emb_ops.sd1_time_embedding(timestep[None])
+        if self.do_cfg:
+            xx = jnp.concatenate([x, x], axis=0)
+            tt = jnp.broadcast_to(t_feat, (2 * b, 320))
+            out = self.models.unet.apply({"params": unet_params}, xx,
+                                         context, tt)
+            cond, uncond = jnp.split(out, 2, axis=0)
+            return uncond + self.cfg_scale * (cond - uncond)
+        tt = jnp.broadcast_to(t_feat, (b, 320))
+        return self.models.unet.apply({"params": unet_params}, x, context,
+                                      tt)
+
+    def _get_step(self, batch: int):
+        """One jitted sampler step: (unet_params, carry, t) → carry, where
+        carry = (sampler_state, context, rng).
+
+        Params are an explicit argument — a closure capture would bake the
+        1.7GB bf16 UNet into the executable as CONSTANTS (XLA duplicates
+        them per program and compile time explodes). Context and rng ride
+        in the (donated) carry so every prompt/seed reuses the SAME
+        compiled executable — only batch size recompiles.
+        """
+        if batch not in self._step_cache:
+            def body(unet_params, carry, t):
+                inner, ctx, key = carry
+                sampler_body, _, _ = make_sampler_body(
+                    lambda x, tt: self._denoise_fn(unet_params, x, tt, ctx),
+                    self.cfg, rng=key, tables=self.tables)
+                inner, _ = sampler_body(inner, t)
+                return (inner, ctx, key), None
+
+            self._step_cache[batch] = jax.jit(body, donate_argnums=1)
+        return self._step_cache[batch]
+
+    def __call__(self, prompts: Sequence[str],
+                 uncond_prompts: Optional[Sequence[str]] = None,
+                 seed: Optional[int] = None) -> np.ndarray:
+        b = len(prompts)
+        rng = jax.random.key(0 if seed is None else seed)
+        _, noise_key, _, anc_key = jax.random.split(rng, 4)
+        uncond_prompts = list(uncond_prompts or [""] * b)
+        if self.tokenizer is None:
+            tokens = np.zeros((2 * b if self.do_cfg else b, 77), np.int32)
+        else:
+            texts = list(prompts) + (uncond_prompts if self.do_cfg else [])
+            tokens = np.asarray(self.tokenizer.encode_batch(texts), np.int32)
+        context = self._clip(self.models.params["clip"],
+                             jnp.asarray(tokens))
+
+        h8, w8 = self.height // 8, self.width // 8
+        latents = jax.random.normal(noise_key, (b, h8, w8, 4)) \
+            * self.tables["initial_scale"]
+        _, make_carry, extract = make_sampler_body(
+            lambda x, t: x, self.cfg, rng=anc_key, tables=self.tables)
+        carry = (make_carry(latents), context, anc_key)
+        step = self._get_step(b)
+        unet_params = self.models.params["unet"]
+        for t in range(self.tables["start_step"],
+                       self.cfg.n_inference_steps):
+            carry, _ = step(unet_params, carry, jnp.int32(t))
+        return np.asarray(self._decode(self.models.params["decoder"],
+                                       extract(carry[0])))

@@ -60,27 +60,34 @@ def sigma_tables(cfg: KSamplerConfig):
     )
 
 
-def k_sampler_scan(
+def make_sampler_body(
     denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
-    latents: jax.Array,
     cfg: KSamplerConfig,
     rng: Optional[jax.Array] = None,
     tables: Optional[dict] = None,
-) -> jax.Array:
-    """Run the full denoise trajectory as one ``lax.scan``; returns latents."""
+):
+    """Build the per-step state machine for a sampler method.
+
+    Returns ``(body, make_carry, extract)``:
+    - ``body(carry, t) -> (carry, None)`` — one denoise step (scan-shaped)
+    - ``make_carry(latents) -> carry`` — initial carry (LMS history ring)
+    - ``extract(carry) -> latents``
+
+    This is the compile-unit boundary: callers either ``lax.scan(body, …)``
+    (one XLA program for the whole trajectory) or jit ``body`` once and
+    drive it from a host loop (same math; for hardware where the
+    scan-wrapped big-UNet compile is pathological).
+    """
     if tables is None:
         tables = sigma_tables(cfg)
     sigmas = jnp.asarray(tables["sigmas"], jnp.float32)
     timesteps = jnp.asarray(tables["timesteps"], jnp.float32)
     scales = jnp.asarray(tables["input_scales"], jnp.float32)
-    start = tables["start_step"]
-    steps = jnp.arange(start, cfg.n_inference_steps)
     if cfg.method == "k_euler_ancestral" and rng is None:
         raise ValueError("k_euler_ancestral needs an rng key")
 
     if cfg.method == "k_lms":
         coeffs = jnp.asarray(tables["lms_coeffs"], jnp.float32)
-        hist0 = jnp.zeros((cfg.lms_order,) + latents.shape, latents.dtype)
 
         def body(carry, t):
             x, hist = carry
@@ -89,8 +96,12 @@ def k_sampler_scan(
             x = x + jnp.einsum("o,o...->...", coeffs[t], hist)
             return (x, hist), None
 
-        (latents, _), _ = jax.lax.scan(body, (latents, hist0), steps)
-        return latents
+        def make_carry(latents):
+            return (latents,
+                    jnp.zeros((cfg.lms_order,) + latents.shape,
+                              latents.dtype))
+
+        return body, make_carry, lambda carry: carry[0]
 
     if cfg.method == "k_euler":
 
@@ -98,8 +109,7 @@ def k_sampler_scan(
             out = denoise_fn(x * scales[t], timesteps[t])
             return x + out * (sigmas[t + 1] - sigmas[t]), None
 
-        latents, _ = jax.lax.scan(body, latents, steps)
-        return latents
+        return body, lambda latents: latents, lambda carry: carry
 
     if cfg.method == "k_euler_ancestral":
 
@@ -115,7 +125,37 @@ def k_sampler_scan(
                                       x.dtype)
             return x + noise * s_up, None
 
-        latents, _ = jax.lax.scan(body, latents, steps)
-        return latents
+        return body, lambda latents: latents, lambda carry: carry
 
     raise ValueError(f"unknown sampler {cfg.method!r}")
+
+
+def k_sampler_scan(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    latents: jax.Array,
+    cfg: KSamplerConfig,
+    rng: Optional[jax.Array] = None,
+    tables: Optional[dict] = None,
+    loop: str = "scan",
+) -> jax.Array:
+    """Run the full denoise trajectory; returns latents.
+
+    ``loop``: ``"scan"`` = ONE ``lax.scan`` (default); ``"jit_step"`` =
+    host loop over a once-jitted donated-carry step (numerically identical
+    by construction — same body; see make_sampler_body).
+    """
+    if tables is None:
+        tables = sigma_tables(cfg)
+    if loop not in ("scan", "jit_step"):
+        raise ValueError(f"unknown loop driver {loop!r}")
+    body, make_carry, extract = make_sampler_body(denoise_fn, cfg, rng,
+                                                  tables)
+    carry = make_carry(latents)
+    steps = jnp.arange(tables["start_step"], cfg.n_inference_steps)
+    if loop == "jit_step":
+        step_fn = jax.jit(body, donate_argnums=0)
+        for t in np.asarray(steps):
+            carry, _ = step_fn(carry, jnp.int32(t))
+    else:
+        carry, _ = jax.lax.scan(body, carry, steps)
+    return extract(carry)

@@ -45,6 +45,23 @@ def test_k_lms_matches_reference_loop():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
 
 
+def test_jit_step_loop_matches_scan():
+    """loop='jit_step' must be bit-identical math to the lax.scan driver
+    for every sampler method."""
+    for method in ("k_lms", "k_euler", "k_euler_ancestral"):
+        cfg = KSamplerConfig(method=method, n_inference_steps=8)
+        tabs = sigma_tables(cfg)
+        x = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (1, 4, 4, 2)).astype(np.float32))
+        rng = jax.random.key(3)
+        scan = np.asarray(k_sampler_scan(_linear_denoiser, x, cfg, rng=rng,
+                                         tables=tabs, loop="scan"))
+        stepped = np.asarray(k_sampler_scan(_linear_denoiser, x, cfg, rng=rng,
+                                            tables=tabs, loop="jit_step"))
+        np.testing.assert_allclose(stepped, scan, rtol=1e-6, atol=1e-7,
+                                   err_msg=method)
+
+
 def test_k_euler_matches_loop():
     cfg = KSamplerConfig(method="k_euler", n_inference_steps=10)
     tabs = sigma_tables(cfg)

@@ -108,6 +108,26 @@ def test_generate_contract(fake_models, sampler):
     assert out.dtype == np.uint8
 
 
+@pytest.mark.parametrize("sampler", ["k_lms", "k_euler", "k_euler_ancestral"])
+def test_sd1_generator_matches_generate(fake_models, sampler):
+    """The compile-once SD1Generator must reproduce generate() exactly
+    (same stages, same math — only the compile-unit boundary differs)."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import (SD1Generator,
+                                                                 generate)
+
+    want = generate(["a cat"], fake_models, tokenizer=None, height=64,
+                    width=64, sampler=sampler, n_inference_steps=3, seed=7)
+    gen = SD1Generator(fake_models, sampler=sampler, n_inference_steps=3,
+                       height=64, width=64)
+    got = gen(["a cat"], seed=7)
+    # scan and jit_step are different XLA programs; fp reassociation can
+    # flip a pixel sitting exactly on a uint8 quantization boundary
+    np.testing.assert_allclose(got.astype(np.int16), want.astype(np.int16),
+                               atol=1)
+    # second call reuses the cached executable — bit-identical to the first
+    np.testing.assert_array_equal(gen(["a cat"], seed=7), got)
+
+
 def test_generate_img2img(fake_models):
     from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import generate
 

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 def test_tiny_sd_cli_train_and_sample(tmp_path):
     from from_ddpm_to_stable_diffusion_tpu.cli import tiny_sd

@@ -9,6 +9,10 @@ from from_ddpm_to_stable_diffusion_tpu.parallel import build_mesh
 from from_ddpm_to_stable_diffusion_tpu.pipelines.clip_trainer import (
     MAX_LOGIT_SCALE, CLIPTrainer)
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 def test_clip_contrastive_training(devices8):
     model = CLIP(embed_dim=16, image_resolution=16, vision_layers=1,

@@ -8,6 +8,8 @@ from from_ddpm_to_stable_diffusion_tpu.parallel import build_mesh
 from from_ddpm_to_stable_diffusion_tpu.pipelines.ddpm_trainer import DDPMTrainer
 from from_ddpm_to_stable_diffusion_tpu.utils.config import TinySDConfig
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg():

@@ -11,6 +11,8 @@ import pytest
 from from_ddpm_to_stable_diffusion_tpu.ops.attention import _xla_attention
 from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import flash_attention
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 INTERPRET = jax.default_backend() != "tpu"
 
 

@@ -10,6 +10,8 @@ from from_ddpm_to_stable_diffusion_tpu.ops.groupnorm import (
 from from_ddpm_to_stable_diffusion_tpu.ops.groupnorm_pallas import (
     group_norm_pallas)
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 INTERPRET = jax.default_backend() != "tpu"
 
 

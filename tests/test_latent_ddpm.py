@@ -7,6 +7,9 @@ import numpy as np
 from from_ddpm_to_stable_diffusion_tpu.io import DataLoader, SyntheticImageDataset
 from from_ddpm_to_stable_diffusion_tpu.pipelines.ddpm_trainer import DDPMTrainer
 from from_ddpm_to_stable_diffusion_tpu.utils.config import TinySDConfig
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
 
 
 def _stub_encode(images, rng):

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from from_ddpm_to_stable_diffusion_tpu.utils import metrics
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
 
 
 def test_frechet_identical_is_zero():

@@ -12,6 +12,8 @@ from from_ddpm_to_stable_diffusion_tpu.parallel.ring_attention import (
 from from_ddpm_to_stable_diffusion_tpu.parallel.sharding import (
     tp_spec_for_path, tp_shardings)
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 def _qkv(b=1, h=8, l=64, d=16, seed=0):
     rng = np.random.default_rng(seed)

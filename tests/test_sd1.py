@@ -13,6 +13,8 @@ import pytest
 from from_ddpm_to_stable_diffusion_tpu.models.sd1 import (
     CLIPText, SD1UNet, VAEDecoder, VAEEncoder)
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 def test_clip_text_shapes():
     model = CLIPText(vocab_size=64, num_layers=2, num_heads=4, embed_dim=64)

@@ -7,6 +7,8 @@ import pytest
 
 from tests.test_sd1 import _FakeModels
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 @pytest.fixture(scope="module")
 def fake_models():

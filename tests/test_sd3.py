@@ -15,6 +15,8 @@ from from_ddpm_to_stable_diffusion_tpu.models.text_encoders import (
     CLIPTextConfig, CLIPTextModel, T5Config, T5Encoder, assemble_sd3_cond,
     t5_relative_position_bucket)
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 def test_mmdit_shapes():
     cfg = MMDiTConfig(depth=2, pos_embed_max_size=16)  # hidden 128, heads 2

@@ -7,6 +7,8 @@ import pytest
 
 from from_ddpm_to_stable_diffusion_tpu.models.tiny_unet import TinyUNet
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 @pytest.fixture(scope="module")
 def tiny():

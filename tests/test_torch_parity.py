@@ -16,6 +16,9 @@ import torch.nn as nn
 import torch.nn.functional as F
 
 from from_ddpm_to_stable_diffusion_tpu.io import weights as W
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
 
 
 def _to_jax_tree(rules, state):

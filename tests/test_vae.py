@@ -12,6 +12,8 @@ from from_ddpm_to_stable_diffusion_tpu.io import DataLoader, SyntheticImageDatas
 from from_ddpm_to_stable_diffusion_tpu.pipelines.vae_trainer import VAETrainer
 from from_ddpm_to_stable_diffusion_tpu.utils.config import VAETrainConfig
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 def test_vanilla_vae_shapes():
     model = VanillaVAE(image_size=32, latent_dim=16,

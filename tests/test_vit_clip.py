@@ -11,6 +11,8 @@ from from_ddpm_to_stable_diffusion_tpu.models.siglip import (
     SiglipVisionConfig, SiglipVisionModel)
 from from_ddpm_to_stable_diffusion_tpu.models.vit import ViT
 
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
+
 
 def test_vit_shapes():
     model = ViT(image_size=32, patch_size=8, num_classes=3, dim=64, depth=2,

@@ -10,6 +10,9 @@ from from_ddpm_to_stable_diffusion_tpu.io import weights as W
 from from_ddpm_to_stable_diffusion_tpu.models.sd1 import (VAEDecoder,
                                                           VAEEncoder)
 from tests.test_weights import _invert, _tree_paths
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full models/pipelines
 
 
 def _flax_shapes(model, *init_args):

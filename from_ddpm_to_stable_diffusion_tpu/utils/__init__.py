@@ -1,4 +1,3 @@
-"""Runtime services: configs, logging, profiling, checkpoints, RNG."""
+"""Runtime services: configs, logging, profiling, checkpoints."""
 
-from .rng import RngStream
 from .dtypes import DTypePolicy, POLICIES

@@ -26,6 +26,8 @@ def main(argv=None):
                    choices=["k_lms", "k_euler", "k_euler_ancestral"])
     g.add_argument("--steps", type=int, default=50)
     g.add_argument("--seed", type=int, default=None)
+    g.add_argument("--prompt-weighting", action="store_true",
+                   help="enable (text:1.3) attention-weight syntax")
     g.add_argument("--ckpt-dir", default=None,
                    help="dir with clip.pt/diffusion.pt/encoder.pt/decoder.pt"
                         " + vocab.json/merges.txt (reference layout)")
@@ -81,7 +83,8 @@ def main(argv=None):
         uncond_prompts=args.uncond_prompt, input_images=input_images,
         strength=args.strength, do_cfg=not args.no_cfg,
         cfg_scale=args.cfg_scale, height=args.height, width=args.width,
-        sampler=args.sampler, n_inference_steps=args.steps, seed=args.seed)
+        sampler=args.sampler, n_inference_steps=args.steps, seed=args.seed,
+        prompt_weighting=args.prompt_weighting)
     for i, img in enumerate(images):
         path = args.out.format(i=i)
         Image.fromarray(np.asarray(img)).save(path)

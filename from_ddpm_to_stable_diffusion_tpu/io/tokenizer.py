@@ -99,14 +99,19 @@ class CLIPTokenizer:
     def _bpe_cached(self, chunk: str) -> Tuple[str, ...]:
         return self._bpe(chunk)
 
-    def encode(self, text: str, pad: bool = True) -> List[int]:
+    def encode_fragment(self, text: str) -> List[int]:
+        """BPE ids for a prompt fragment — no BOS/EOS/pad (used by
+        prompt-weight segments, io/prompt_weights.py)."""
         text = unicodedata.normalize("NFC", text)
         text = re.sub(r"\s+", " ", text).strip().lower()
-        ids = [self.bos_id]
+        ids: List[int] = []
         for chunk in _CHUNK_PATTERN.findall(text):
             mapped = "".join(self._bytes[b] for b in chunk.encode("utf-8"))
             ids.extend(self.vocab[piece] for piece in self._bpe_cached(mapped))
-        ids.append(self.eos_id)
+        return ids
+
+    def encode(self, text: str, pad: bool = True) -> List[int]:
+        ids = [self.bos_id] + self.encode_fragment(text) + [self.eos_id]
         ids = ids[: self.max_length]
         if pad:
             ids += [self.pad_id] * (self.max_length - len(ids))
@@ -115,11 +120,17 @@ class CLIPTokenizer:
     def encode_batch(self, texts: List[str]) -> List[List[int]]:
         return [self.encode(t) for t in texts]
 
-    def tokenize_with_weights(self, text: str):
-        """(token, weight) pairs with weights stubbed to 1.0 — API parity
-        with the reference SD3 tokenizer (02_.../utils.py:187-226), which
-        also does not implement prompt weighting."""
-        return [(tok, 1.0) for tok in self.encode(text)]
+    def tokenize_with_weights(self, text: str, parse_weights: bool = False):
+        """(token, weight) pairs. Default (stub weights at 1.0) matches the
+        reference SD3 tokenizer (02_.../utils.py:187-226); with
+        ``parse_weights=True`` the ``(text:w)`` attention syntax yields real
+        per-token weights (io/prompt_weights.py)."""
+        if not parse_weights:
+            return [(tok, 1.0) for tok in self.encode(text)]
+        from .prompt_weights import encode_with_weights
+
+        ids, weights = encode_with_weights(self, text)
+        return list(zip(ids, weights))
 
     def decode(self, ids: List[int]) -> str:
         inv_vocab = {v: k for k, v in self.vocab.items()}

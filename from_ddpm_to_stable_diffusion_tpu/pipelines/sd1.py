@@ -110,6 +110,7 @@ def generate(
     seed: Optional[int] = None,
     return_latents: bool = False,
     loop: str = "scan",
+    prompt_weighting: bool = False,
 ):
     """Text→image (or image→image when ``input_images`` given).
 
@@ -142,13 +143,25 @@ def generate(
 
     # ---- text conditioning (tokenize host-side; one CLIP forward) ----
     uncond_prompts = list(uncond_prompts or [""] * b)
+    token_weights = None
     if tokenizer is None:
         tokens = np.zeros((2 * b if do_cfg else b, 77), np.int32)
     else:
         texts = list(prompts) + (uncond_prompts if do_cfg else [])
-        tokens = np.asarray(tokenizer.encode_batch(texts), np.int32)
+        if prompt_weighting:
+            from ..io.prompt_weights import batch_encode_with_weights
+
+            ids, token_weights = batch_encode_with_weights(tokenizer, texts)
+            tokens = np.asarray(ids, np.int32)
+        else:
+            tokens = np.asarray(tokenizer.encode_batch(texts), np.int32)
     context = models.clip.apply({"params": models.params["clip"]},
                                 jnp.asarray(tokens))
+    if token_weights is not None:
+        from ..io.prompt_weights import apply_token_weights
+
+        context = apply_token_weights(context, np.asarray(token_weights,
+                                                          np.float32))
     # context: (2B, 77, 768) = [cond | uncond] when do_cfg
 
     cfg = KSamplerConfig(
@@ -215,13 +228,15 @@ class SD1Generator:
     def __init__(self, models: SD1Models, tokenizer=None,
                  sampler: str = "k_lms", n_inference_steps: int = 50,
                  do_cfg: bool = True, cfg_scale: float = 7.5,
-                 height: int = 512, width: int = 512):
+                 height: int = 512, width: int = 512,
+                 prompt_weighting: bool = False):
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler value {sampler!r}")
         if height % 8 or width % 8:
             raise ValueError("height and width must be multiples of 8")
         self.models = models
         self.tokenizer = tokenizer
+        self.prompt_weighting = prompt_weighting
         self.do_cfg = do_cfg
         self.cfg_scale = cfg_scale
         self.height, self.width = height, width
@@ -281,13 +296,27 @@ class SD1Generator:
         rng = jax.random.key(0 if seed is None else seed)
         _, noise_key, _, anc_key = jax.random.split(rng, 4)
         uncond_prompts = list(uncond_prompts or [""] * b)
+        token_weights = None
         if self.tokenizer is None:
             tokens = np.zeros((2 * b if self.do_cfg else b, 77), np.int32)
         else:
             texts = list(prompts) + (uncond_prompts if self.do_cfg else [])
-            tokens = np.asarray(self.tokenizer.encode_batch(texts), np.int32)
+            if self.prompt_weighting:
+                from ..io.prompt_weights import batch_encode_with_weights
+
+                ids, token_weights = batch_encode_with_weights(
+                    self.tokenizer, texts)
+                tokens = np.asarray(ids, np.int32)
+            else:
+                tokens = np.asarray(self.tokenizer.encode_batch(texts),
+                                    np.int32)
         context = self._clip(self.models.params["clip"],
                              jnp.asarray(tokens))
+        if token_weights is not None:
+            from ..io.prompt_weights import apply_token_weights
+
+            context = apply_token_weights(
+                context, np.asarray(token_weights, np.float32))
 
         h8, w8 = self.height // 8, self.width // 8
         latents = jax.random.normal(noise_key, (b, h8, w8, 4)) \

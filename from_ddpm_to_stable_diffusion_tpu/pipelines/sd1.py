@@ -37,6 +37,17 @@ from ..utils.dtypes import POLICIES
 SAMPLERS = ("k_lms", "k_euler", "k_euler_ancestral")
 
 
+def _store_params(params, compute_dtype):
+    """Serving bundles store big weights in the compute dtype (identical
+    numerics to the per-call cast; halves weight HBM reads — see
+    utils.dtypes.cast_params_for_inference)."""
+    if compute_dtype == jnp.bfloat16:
+        from ..utils.dtypes import cast_params_for_inference
+
+        return cast_params_for_inference(params, compute_dtype)
+    return params
+
+
 @dataclasses.dataclass
 class SD1Models:
     """Device-resident model bundle (params trees + module defs)."""
@@ -63,12 +74,12 @@ class SD1Models:
         return cls(
             clip=CLIPText(dtype=dt), unet=SD1UNet(dtype=dt),
             encoder=VAEEncoder(dtype=dt), decoder=VAEDecoder(dtype=dt),
-            params={
+            params=_store_params({
                 "clip": import_sd1_clip(p("clip")),
                 "unet": import_sd1_unet(p("diffusion")),
                 "encoder": import_sd1_vae_encoder(p("encoder")),
                 "decoder": import_sd1_vae_decoder(p("decoder")),
-            })
+            }, dt))
 
     @classmethod
     def initialize(cls, rng: jax.Array, dtype: str = "bf16",
@@ -91,7 +102,7 @@ class SD1Models:
                                     jnp.zeros((1, 8, 8, 4)))["params"],
             "decoder": decoder.init(k4, jnp.zeros((1, 8, 8, 4)))["params"],
         }
-        return cls(clip, unet, encoder, decoder, params)
+        return cls(clip, unet, encoder, decoder, _store_params(params, dt))
 
 
 def generate(

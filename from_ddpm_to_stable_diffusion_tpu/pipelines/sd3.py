@@ -40,6 +40,20 @@ from ..samplers.flow import flow_euler_sample, noise_scaling
 from ..utils.dtypes import POLICIES
 
 
+def _store_params(params, compute_dtype):
+    """Serving bundles store big weights in the compute dtype — identical
+    numerics to the per-call cast, half the per-step HBM weight reads (and
+    half the checkpoint-resident footprint, which is what lets T5-XXL +
+    MMDiT phase-share one 16GB chip). See utils.dtypes.cast_params_for_inference."""
+    import jax.numpy as _jnp
+
+    if compute_dtype == _jnp.bfloat16:
+        from ..utils.dtypes import cast_params_for_inference
+
+        return cast_params_for_inference(params, compute_dtype)
+    return params
+
+
 def sniff_mmdit_config(state: Dict[str, np.ndarray],
                        prefix: str = "model.diffusion_model.") -> MMDiTConfig:
     """Infer MMDiTConfig from a safetensors state dict's tensor shapes."""
@@ -108,7 +122,7 @@ class SD3Models:
             t5 = T5Encoder(T5Config(), dtype=dt)
             params["t5"] = import_t5(t5_path)
         return cls(mmdit, SD3VAEEncoder(dtype=dt), SD3VAEDecoder(dtype=dt),
-                   clip_l, clip_g, t5, params)
+                   clip_l, clip_g, t5, _store_params(params, dt))
 
     @classmethod
     def initialize(cls, rng: jax.Array, dtype: str = "bf16",
@@ -145,7 +159,8 @@ class SD3Models:
         }
         if with_t5:
             params["t5"] = t5.init(ks[5], jnp.zeros((1, 77), jnp.int32))["params"]
-        return cls(mmdit, vae_e, vae_d, clip_l, clip_g, t5, params)
+        return cls(mmdit, vae_e, vae_d, clip_l, clip_g, t5,
+                   _store_params(params, dt))
 
     def free(self, *names: str) -> None:
         """Drop param groups and delete their device buffers — the TPU

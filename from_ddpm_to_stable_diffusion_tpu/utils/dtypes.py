@@ -30,3 +30,25 @@ POLICIES = {
     "bf16": DTypePolicy(jnp.float32, jnp.bfloat16, "bf16"),
     "full_bf16": DTypePolicy(jnp.bfloat16, jnp.bfloat16, "full_bf16"),
 }
+
+
+def cast_params_for_inference(params, dtype=jnp.bfloat16, min_ndim: int = 2):
+    """Store big floating parameters in the compute dtype for serving.
+
+    fp32 params that a bf16 forward casts per call cost double the HBM
+    weight reads AND a relayout copy of every conv/matmul kernel per step
+    (measured: ~600 MB/step of f32 weight copies in the SD1 UNet — see
+    docs/sd1_step_profile.md). The per-call cast rounds to the same bf16
+    values, so pre-casting is numerically identical for inference. 1-D
+    params (biases, norm scales — trivial bytes, used in fp32 statistics)
+    stay fp32.
+    """
+    import jax
+
+    def cast(p):
+        if (hasattr(p, "ndim") and p.ndim >= min_ndim
+                and jnp.issubdtype(p.dtype, jnp.floating)):
+            return p.astype(dtype)
+        return p
+
+    return jax.tree_util.tree_map(cast, params)

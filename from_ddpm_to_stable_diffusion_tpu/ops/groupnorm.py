@@ -33,15 +33,52 @@ def _stats(x, num_groups, eps):
     return xf, mean, inv
 
 
+def _apply_act(out, act):
+    if act == "silu":
+        return out * jax.nn.sigmoid(out)
+    if act is not None:
+        raise ValueError(f"unknown act {act!r}")
+    return out
+
+
 def _group_norm_xla(x, num_groups, scale, bias, eps, act):
     xf, mean, inv = _stats(x, num_groups, eps)
     xhat = ((xf - mean) * inv).reshape(x.shape)
     out = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    if act == "silu":
-        out = out * jax.nn.sigmoid(out)
-    elif act is not None:
-        raise ValueError(f"unknown act {act!r}")
-    return out.astype(x.dtype)
+    return _apply_act(out, act).astype(x.dtype)
+
+
+def _group_norm_xla_lane_aligned(x, num_groups, scale, bias, eps, act):
+    """One-pass stats with lane-aligned reductions (bf16 fast path).
+
+    The classic formulation reshapes to (B, S, G, C/G) and reduces over a
+    C/G-wide trailing axis — 10 of 128 lanes active for C=320/G=32 on TPU
+    (measured 1.4 ms/step of convert_reduce time in the SD1 UNet). Instead:
+    reduce per-CHANNEL sums/sumsquares over the contiguous spatial axis
+    (full-lane), then combine the (B, C) partials into (B, G) group stats —
+    a trivially small second reduction. Uses E[x²]−E[x]² in fp32, fine for
+    bf16 activations; fp32 parity paths keep the two-pass `_stats`.
+    """
+    b = x.shape[0]
+    c = x.shape[-1]
+    cg = c // num_groups
+    xr = x.reshape(b, -1, c)
+    s = xr.shape[1]
+    xf = xr.astype(jnp.float32)
+    csum = jnp.sum(xf, axis=1)                       # (B, C) full-lane
+    csq = jnp.sum(xf * xf, axis=1)                   # (B, C) same pass
+    inv_n = 1.0 / (s * cg)
+    gsum = jnp.sum(csum.reshape(b, num_groups, cg), axis=-1)
+    gsq = jnp.sum(csq.reshape(b, num_groups, cg), axis=-1)
+    mean_g = gsum * inv_n
+    var_g = jnp.maximum(gsq * inv_n - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)         # (B, C)
+    inv_c = jnp.repeat(inv_g, cg, axis=-1)
+    mul = inv_c * scale.astype(jnp.float32)[None, :]
+    add = bias.astype(jnp.float32)[None, :] - mean_c * mul
+    out = xf * mul[:, None, :] + add[:, None, :]
+    return _apply_act(out, act).astype(x.dtype).reshape(x.shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -120,9 +157,13 @@ def group_norm(
     if use_pallas:
         from .groupnorm_pallas import eligible
 
-        if not eligible(x, num_groups):
-            return _group_norm_xla(x, num_groups, scale, bias, eps, act)
-        return _group_norm_fused(x, scale, bias, num_groups, eps, act)
+        if eligible(x, num_groups):
+            return _group_norm_fused(x, scale, bias, num_groups, eps, act)
+    if x.dtype == jnp.bfloat16:
+        # lane-aligned one-pass stats; fp32 inputs keep the numerically
+        # stabler two-pass path (parity/golden contracts run fp32)
+        return _group_norm_xla_lane_aligned(x, num_groups, scale, bias,
+                                            eps, act)
     return _group_norm_xla(x, num_groups, scale, bias, eps, act)
 
 

@@ -104,15 +104,15 @@ def bench_sd1_pipeline(iters: int = 3, steps: int = 50):
                                          tables=gen.tables)
     latents = jax.random.normal(jax.random.key(1), (1, 64, 64, 4))
     ctx = gen._clip(models.params["clip"], jnp.zeros((2, 77), jnp.int32))
-    state = (make_carry(latents), ctx, jax.random.key(0))
+    state = (make_carry(latents), ctx, jax.random.key(0), jnp.int32(0))
     step = gen._get_step(1)
     up = models.params["unet"]
-    state, _ = step(up, state, jnp.int32(0))  # executable cache is warm
+    state = step(up, state)  # executable cache is warm
     float(jnp.sum(state[0][0]))
     n = 20
     t0 = time.perf_counter()
-    for i in range(1, n + 1):
-        state, _ = step(up, state, jnp.int32(min(i, steps - 1)))
+    for _ in range(n):
+        state = step(up, state)
     float(jnp.sum(state[0][0]))
     step_ms = (time.perf_counter() - t0) / n * 1e3
     print(f"[bench] sd1 denoise step (pipeline executable): {step_ms:.1f} ms",

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import attention_blhd
 from ..ops.embeddings import crop_pos_embed, timestep_embedding
 from ..ops.groupnorm import layer_norm, rms_norm
 
@@ -144,11 +144,9 @@ class DismantledBlock(nn.Module):
 
     def __call__(self, x, c):
         (q, k, v), (res_x, post_mods) = self.pre_attention(x, c)
-        out = dot_product_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3))
-        b, h, l, d = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+        out = attention_blhd(q, k, v)   # (B, L, H, D), transpose-free
+        b, l, h, d = out.shape
+        out = out.reshape(b, l, h * d)
         return self.post_attention(out, (res_x, post_mods))
 
 
@@ -183,24 +181,29 @@ class JointBlock(nn.Module):
         ctx_qkv, ctx_state = self.context_block.pre_attention(context, c)
         x_qkv, x_state = self.x_block.pre_attention(x, c)
         lc = context.shape[1]
-        # joint sequence: (B, H, Lc+Lx, D) — one flash attention call
-        q, k, v = (jnp.concatenate([cq, xq], axis=1).transpose(0, 2, 1, 3)
+        # joint sequence along L: (B, Lc+Lx, H, D) — one attention call,
+        # heads indexed by BlockSpec (no transpose materializes)
+        q, k, v = (jnp.concatenate([cq, xq], axis=1)
                    for cq, xq in zip(ctx_qkv, x_qkv))
         if self.mesh is not None:
             from ..parallel.ring_attention import ring_attention
 
             n = self.mesh.shape[self.seq_axis]
-            l_actual = q.shape[2]
+            l_actual = q.shape[1]
             pad = (-l_actual) % n
+            t = lambda a: a.transpose(0, 2, 1, 3)
+            q, k, v = t(q), t(k), t(v)  # ring contract is (B, H, L, D)
             if pad:
                 widths = ((0, 0), (0, 0), (0, pad), (0, 0))
                 q, k, v = (jnp.pad(a, widths) for a in (q, k, v))
             out = ring_attention(q, k, v, self.mesh, self.seq_axis,
                                  kv_valid_len=l_actual)[:, :, :l_actual]
+            b, h, l, d = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
         else:
-            out = dot_product_attention(q, k, v)
-        b, h, l, d = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+            out = attention_blhd(q, k, v)
+            b, l, h, d = out.shape
+            out = out.reshape(b, l, h * d)
         ctx_attn, x_attn = out[:, :lc], out[:, lc:]
         new_context = (None if self.context_pre_only
                        else self.context_block.post_attention(ctx_attn,

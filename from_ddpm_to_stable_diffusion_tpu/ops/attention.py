@@ -83,16 +83,32 @@ def merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
+def attention_blhd(q, k, v, bias=None, causal: bool = False, **kw):
+    """Attention over (B, L, H, D) tensors; output (B, L, H, D).
+
+    Note: a transpose-free BLHD kernel entry was tried and measured — the
+    Mosaic TPU lowering requires the last two block dims to be
+    (8k, 128k)-divisible or full, so per-head (…, 1, D) blocks over a
+    (B, L, H, D) array are unlowerable for D<128, and full-H blocks put H
+    on the sublane axis (strided MXU feeds). The head transposes stay
+    (~0.5 ms/step in the SD1 UNet); this wrapper just centralizes them.
+    """
+    t = lambda x: x.transpose(0, 2, 1, 3)
+    out = dot_product_attention(t(q), t(k), t(v), bias=bias, causal=causal,
+                                **kw)
+    return t(out)
+
+
 def multi_head_attention(
     q, k, v, num_heads: int, bias=None, causal: bool = False, **kw
 ) -> jax.Array:
     """Attention over (B, L, D_model) activations with head split/merge."""
-    out = dot_product_attention(
-        split_heads(q, num_heads),
-        split_heads(k, num_heads),
-        split_heads(v, num_heads),
-        bias=bias,
-        causal=causal,
-        **kw,
-    )
-    return merge_heads(out)
+    b, lq, dm = q.shape
+    lk = k.shape[1]
+    d = dm // num_heads
+    out = attention_blhd(
+        q.reshape(b, lq, num_heads, d),
+        k.reshape(b, lk, num_heads, d),
+        v.reshape(b, lk, num_heads, d),
+        bias=bias, causal=causal, **kw)
+    return out.reshape(b, lq, dm)

@@ -35,11 +35,25 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _ld(ref, rows, cols):
+    """Load a block and reshape away unit dims to (rows, cols).
+
+    Makes the kernels layout-agnostic: BHLD blocks are (1, rows, cols),
+    BLHD blocks are (1, rows, 1, cols) — the kernel math is identical.
+    """
+    return ref[...].reshape(rows, cols)
+
+
+def _st(ref, val):
+    """Store a (rows, cols) value into a block with extra unit dims."""
+    ref[...] = val.reshape(ref.shape).astype(ref.dtype)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref,
-                *, scale, causal, lk_actual, block_q, block_k, n_k):
-    iq = pl.program_id(1)
-    ik = pl.program_id(2)
+                *, scale, causal, lk_actual, block_q, block_k, n_k, d):
+    iq = pl.program_id(q_ref.ndim - 2)      # grid (..., n_q, n_k)
+    ik = pl.program_id(q_ref.ndim - 1)
 
     @pl.when(ik == 0)
     def _init():
@@ -65,11 +79,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         # Feed the MXU in the input dtype (bf16 native pass); accumulate and
         # run the softmax in fp32 via preferred_element_type.
         s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            _ld(q_ref, block_q, d), _ld(k_ref, block_k, d),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision) * scale
         if bias_ref is not None:
-            s = s + bias_ref[0].astype(jnp.float32)
+            s = s + _ld(bias_ref, block_q, block_k).astype(jnp.float32)
         col = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = col < lk_actual
@@ -87,7 +102,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
             l_ref.shape)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), _ld(v_ref, block_k, d),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -96,9 +112,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     def _finalize():
         l = l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(safe_l),
-                                      lse_ref.shape[1:])
+        _st(o_ref, acc_ref[:] / safe_l)
+        _st(lse_ref, jnp.broadcast_to(m_ref[:, :1] + jnp.log(safe_l),
+                                      (block_q, 128)))
 
 
 def _pad_to(x, axis, mult):
@@ -113,37 +129,49 @@ def _pad_to(x, axis, mult):
 
 def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
                interpret=False):
-    """Returns (out (B,H,Lq,D), lse (B,H,Lq) fp32)."""
-    b, h, lq, d_orig = q.shape
+    """Returns (out (B,H,Lq,D), lse (B,H,Lq) fp32).
+
+    head_dim stays UNPADDED in HBM: Mosaic lane-pads the (block, d) tiles
+    in VMEM for free, while a 128-pad in HBM costs a materialized copy of
+    q/k/v AND 128/d× the kernel's k/v read traffic.
+    """
+    b, h, lq, d = q.shape
     lk = k.shape[2]
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
-    # Lane-align head_dim: zero-padded d columns change neither logits nor
-    # the (sliced) output. ``scale`` already reflects the original d.
-    qp = _pad_to(_pad_to(q.reshape(b * h, lq, d_orig), 2, 128), 1, block_q)
-    kp = _pad_to(_pad_to(k.reshape(b * h, lk, d_orig), 2, 128), 1, block_k)
-    vp = _pad_to(_pad_to(v.reshape(b * h, lk, d_orig), 2, 128), 1, block_k)
-    d = qp.shape[-1]
+    has_bias = bias is not None
+
+    qp = _pad_to(q.reshape(b * h, lq, d), 1, block_q)
+    kp = _pad_to(k.reshape(b * h, lk, d), 1, block_k)
+    vp = _pad_to(v.reshape(b * h, lk, d), 1, block_k)
     lq_p, lk_p = qp.shape[1], kp.shape[1]
     n_q, n_k = lq_p // block_q, lk_p // block_k
-
+    grid = (b * h, n_q, n_k)
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
         pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
         pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
     ]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        jax.ShapeDtypeStruct((b * h, lq_p, 128), jnp.float32),
+    ]
+
     args = [qp, kp, vp]
-    has_bias = bias is not None
     if has_bias:
-        bias = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
-        bias = _pad_to(_pad_to(bias, 1, block_q), 2, block_k)
+        bias_b = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
+        bias_b = _pad_to(_pad_to(bias_b, 1, block_q), 2, block_k)
         in_specs.append(pl.BlockSpec((1, block_q, block_k),
                                      lambda bh, iq, ik: (bh, iq, ik)))
-        args.append(bias)
+        args.append(bias_b)
 
     body = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, lk_actual=lk,
-        block_q=block_q, block_k=block_k, n_k=n_k)
+        block_q=block_q, block_k=block_k, n_k=n_k, d=d)
     if has_bias:
         kernel = body
     else:
@@ -152,16 +180,10 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b * h, n_q, n_k),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq_p, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -169,7 +191,7 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
         ],
         interpret=interpret,
     )(*args)
-    out = out[:, :lq, :d_orig].reshape(b, h, lq, d_orig)
+    out = out[:, :lq].reshape(b, h, lq, d)
     lse = lse[:, :lq, 0].reshape(b, h, lq)
     return out, lse
 
@@ -296,11 +318,12 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, causal, scale, block_q, block_k,
     lk = k.shape[2]
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
-    qp = _pad_to(_pad_to(q.reshape(b * h, lq, d_orig), 2, 128), 1, block_q)
-    kp = _pad_to(_pad_to(k.reshape(b * h, lk, d_orig), 2, 128), 1, block_k)
-    vp = _pad_to(_pad_to(v.reshape(b * h, lk, d_orig), 2, 128), 1, block_k)
-    gp = _pad_to(_pad_to(g.reshape(b * h, lq, d_orig), 2, 128), 1, block_q)
-    d = qp.shape[-1]
+    # unpadded head_dim in HBM (see _flash_fwd)
+    qp = _pad_to(q.reshape(b * h, lq, d_orig), 1, block_q)
+    kp = _pad_to(k.reshape(b * h, lk, d_orig), 1, block_k)
+    vp = _pad_to(v.reshape(b * h, lk, d_orig), 1, block_k)
+    gp = _pad_to(g.reshape(b * h, lq, d_orig), 1, block_q)
+    d = d_orig
     lq_p, lk_p = qp.shape[1], kp.shape[1]
     n_q, n_k = lq_p // block_q, lk_p // block_k
 

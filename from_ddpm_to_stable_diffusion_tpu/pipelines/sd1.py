@@ -93,14 +93,20 @@ class SD1Models:
         decoder = VAEDecoder(dtype=dt)
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         h8, w8 = height // 8, width // 8
+        # jit each init: ONE compiled program per model instead of hundreds
+        # of eager single-op dispatches (minutes-vs-seconds on the
+        # remote-compile tunnel with a cold cache)
         params = {
-            "clip": clip.init(k1, jnp.zeros((1, 77), jnp.int32))["params"],
-            "unet": unet.init(k2, jnp.zeros((1, h8, w8, 4)),
-                              jnp.zeros((1, 77, 768)),
-                              jnp.zeros((1, 320)))["params"],
-            "encoder": encoder.init(k3, jnp.zeros((1, 64, 64, 3)),
-                                    jnp.zeros((1, 8, 8, 4)))["params"],
-            "decoder": decoder.init(k4, jnp.zeros((1, 8, 8, 4)))["params"],
+            "clip": jax.jit(clip.init)(
+                k1, jnp.zeros((1, 77), jnp.int32))["params"],
+            "unet": jax.jit(unet.init)(
+                k2, jnp.zeros((1, h8, w8, 4)), jnp.zeros((1, 77, 768)),
+                jnp.zeros((1, 320)))["params"],
+            "encoder": jax.jit(encoder.init)(
+                k3, jnp.zeros((1, 64, 64, 3)),
+                jnp.zeros((1, 8, 8, 4)))["params"],
+            "decoder": jax.jit(decoder.init)(
+                k4, jnp.zeros((1, 8, 8, 4)))["params"],
         }
         return cls(clip, unet, encoder, decoder, _store_params(params, dt))
 
@@ -279,23 +285,26 @@ class SD1Generator:
                                       tt)
 
     def _get_step(self, batch: int):
-        """One jitted sampler step: (unet_params, carry, t) → carry, where
-        carry = (sampler_state, context, rng).
+        """One jitted sampler step: (unet_params, carry) → carry, where
+        carry = (sampler_state, context, rng, t).
 
         Params are an explicit argument — a closure capture would bake the
         1.7GB bf16 UNet into the executable as CONSTANTS (XLA duplicates
         them per program and compile time explodes). Context and rng ride
         in the (donated) carry so every prompt/seed reuses the SAME
-        compiled executable — only batch size recompiles.
+        compiled executable — only batch size recompiles. The step index t
+        is a device scalar IN the carry (incremented on device): the host
+        loop issues pure async dispatches with no per-step host→device
+        transfer, so wall-clock tracks device time.
         """
         if batch not in self._step_cache:
-            def body(unet_params, carry, t):
-                inner, ctx, key = carry
+            def body(unet_params, carry):
+                inner, ctx, key, t = carry
                 sampler_body, _, _ = make_sampler_body(
                     lambda x, tt: self._denoise_fn(unet_params, x, tt, ctx),
                     self.cfg, rng=key, tables=self.tables)
                 inner, _ = sampler_body(inner, t)
-                return (inner, ctx, key), None
+                return (inner, ctx, key, t + 1)
 
             self._step_cache[batch] = jax.jit(body, donate_argnums=1)
         return self._step_cache[batch]
@@ -334,11 +343,12 @@ class SD1Generator:
             * self.tables["initial_scale"]
         _, make_carry, extract = make_sampler_body(
             lambda x, t: x, self.cfg, rng=anc_key, tables=self.tables)
-        carry = (make_carry(latents), context, anc_key)
+        carry = (make_carry(latents), context, anc_key,
+                 jnp.int32(self.tables["start_step"]))
         step = self._get_step(b)
         unet_params = self.models.params["unet"]
-        for t in range(self.tables["start_step"],
+        for _ in range(self.tables["start_step"],
                        self.cfg.n_inference_steps):
-            carry, _ = step(unet_params, carry, jnp.int32(t))
+            carry = step(unet_params, carry)
         return np.asarray(self._decode(self.models.params["decoder"],
                                        extract(carry[0])))

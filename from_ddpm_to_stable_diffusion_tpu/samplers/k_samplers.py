@@ -153,9 +153,20 @@ def k_sampler_scan(
     carry = make_carry(latents)
     steps = jnp.arange(tables["start_step"], cfg.n_inference_steps)
     if loop == "jit_step":
-        step_fn = jax.jit(body, donate_argnums=0)
-        for t in np.asarray(steps):
-            carry, _ = step_fn(carry, jnp.int32(t))
+        # t rides in the (donated) carry as a device scalar: the host loop
+        # issues pure async dispatches with NO per-step host→device
+        # transfer (a fresh jnp.int32(t) per step stalls run-ahead — the
+        # device idles for the transfer latency between steps)
+        def step_fn(c):
+            inner, t = c
+            inner, _ = body(inner, t)
+            return inner, t + 1
+
+        step_jit = jax.jit(step_fn, donate_argnums=0)
+        carry_t = (carry, jnp.int32(tables["start_step"]))
+        for _ in range(tables["start_step"], cfg.n_inference_steps):
+            carry_t = step_jit(carry_t)
+        carry = carry_t[0]
     else:
         carry, _ = jax.lax.scan(body, carry, steps)
     return extract(carry)

@@ -32,23 +32,44 @@ POLICIES = {
 }
 
 
+import re
+
+_NORM_PATH = re.compile(r"(^|_)(norm|ln)($|_|\d)|groupnorm|layernorm|rms",
+                        re.IGNORECASE)
+
+
 def cast_params_for_inference(params, dtype=jnp.bfloat16, min_ndim: int = 2):
-    """Store big floating parameters in the compute dtype for serving.
+    """Store floating parameters in the compute dtype for serving.
 
     fp32 params that a bf16 forward casts per call cost double the HBM
     weight reads AND a relayout copy of every conv/matmul kernel per step
     (measured: ~600 MB/step of f32 weight copies in the SD1 UNet — see
-    docs/sd1_step_profile.md). The per-call cast rounds to the same bf16
-    values, so pre-casting is numerically identical for inference. 1-D
-    params (biases, norm scales — trivial bytes, used in fp32 statistics)
-    stay fp32.
+    docs/SD1_STEP_PROFILE.md). The per-call cast rounds to the same bf16
+    values, so pre-casting is numerically identical for inference.
+
+    1-D biases under conv/dense modules are ALSO cast: flax promotes them
+    to the compute dtype inside every call, and fp32 storage additionally
+    costs a per-step copy+convert chain (~0.25 ms/step of f32[1280]-style
+    DMA pairs in the SD1 UNet, measured). Norm-layer params (path matches
+    norm/ln) stay fp32 — they feed fp32 statistics directly, so casting
+    THEM would change numerics.
     """
     import jax
 
-    def cast(p):
-        if (hasattr(p, "ndim") and p.ndim >= min_ndim
+    def cast(path, p):
+        if not (hasattr(p, "ndim")
                 and jnp.issubdtype(p.dtype, jnp.floating)):
+            return p
+        if p.ndim >= min_ndim:
+            return p.astype(dtype)
+        names = [str(getattr(k, "key", k)) for k in path]
+        if p.ndim == 1 and not any(_NORM_PATH.search(n) for n in names):
             return p.astype(dtype)
         return p
 
-    return jax.tree_util.tree_map(cast, params)
+    # one jitted program for the whole tree (not thousands of eager casts —
+    # each is a separate dispatch on the remote-compile tunnel); donation
+    # lets XLA free each fp32 buffer as soon as its bf16 copy is written
+    return jax.jit(
+        lambda t: jax.tree_util.tree_map_with_path(cast, t),
+        donate_argnums=0)(params)

@@ -71,3 +71,26 @@ def test_flash_bf16():
                           v.astype(jnp.float32), None, False, 64**-0.5)
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(want), atol=2e-2)
+
+
+def test_attention_blhd_wrapper():
+    """attention_blhd (B,L,H,D) must equal BHLD attention on transposed
+    inputs, forward and grad (it is the call-site convention for MMDiT's
+    joint attention and multi_head_attention)."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.attention import (
+        attention_blhd)
+
+    q = _rand((2, 128, 3, 40), 10)
+    k = _rand((2, 128, 3, 40), 11)
+    v = _rand((2, 128, 3, 40), 12)
+    t = lambda x: x.transpose(0, 2, 1, 3)
+    got = attention_blhd(q, k, v)
+    want = _xla_attention(t(q), t(k), t(v), None, False, 40**-0.5)
+    np.testing.assert_allclose(np.asarray(t(got)), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    g1 = jax.grad(lambda q: attention_blhd(q, k, v).sum())(q)
+    g2 = jax.grad(
+        lambda q: _xla_attention(t(q), t(k), t(v), None, False,
+                                 40**-0.5).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)

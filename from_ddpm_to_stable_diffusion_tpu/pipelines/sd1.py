@@ -246,11 +246,22 @@ class SD1Generator:
                  sampler: str = "k_lms", n_inference_steps: int = 50,
                  do_cfg: bool = True, cfg_scale: float = 7.5,
                  height: int = 512, width: int = 512,
-                 prompt_weighting: bool = False):
+                 prompt_weighting: bool = False, mesh=None):
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler value {sampler!r}")
         if height % 8 or width % 8:
             raise ValueError("height and width must be multiples of 8")
+        if mesh is not None:
+            # Tensor-parallel serving: shard attention/GEGLU kernels over
+            # the mesh ``model`` axis (parallel.sharding rules); jit'd
+            # stages see sharded params and GSPMD inserts the psums over
+            # ICI. Latency mode — one image's denoise step spread across
+            # chips.
+            from ..parallel.sharding import apply_tp
+
+            models.params = {k: apply_tp(v, mesh)
+                             for k, v in models.params.items()}
+        self.mesh = mesh
         self.models = models
         self.tokenizer = tokenizer
         self.prompt_weighting = prompt_weighting

@@ -33,9 +33,10 @@ from .mesh import SEQ_AXIS
 def _attention_with_lse(q, k, v, scale, kv_mask=None):
     """XLA attention returning (out, lse) — the per-block primitive.
 
-    ``kv_mask``: optional (Lk,) bool; masked-out keys contribute nothing
-    (fully-masked blocks yield lse = −inf and a zero partial, which the
-    log-sum-exp merge ignores).
+    ``kv_mask``: optional (Lk,) or (Lq, Lk) bool; masked-out keys
+    contribute nothing (fully-masked blocks yield lse = −inf and a zero
+    partial, which the log-sum-exp merge ignores; fully-masked ROWS yield
+    a zero partial with lse = −inf that a later unmasked block replaces).
     """
     precision = (jax.lax.Precision.HIGHEST
                  if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
@@ -43,7 +44,9 @@ def _attention_with_lse(q, k, v, scale, kv_mask=None):
                         preferred_element_type=jnp.float32,
                         precision=precision) * scale
     if kv_mask is not None:
-        logits = jnp.where(kv_mask[None, None, None, :], logits, -1e30)
+        mask = (kv_mask[None, None, None, :] if kv_mask.ndim == 1
+                else kv_mask[None, None, :, :])
+        logits = jnp.where(mask, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -65,11 +68,35 @@ def _merge_partials(o1, lse1, o2, lse2):
     return out, m + jnp.log(denom)
 
 
+def zigzag_order(l: int, n: int):
+    """Global seq permutation for causal-balanced ring attention.
+
+    Splits [0, l) into 2n chunks and assigns device i the pair
+    (chunk_i, chunk_{2n-1-i}) — every device then owns an equal share of
+    early AND late positions, so the causal mask admits the same amount of
+    work per device on every hop (a contiguous layout leaves device 0
+    nearly idle while device n-1 computes a full block; the ring is
+    lockstep, so everyone waits for the worst device).
+
+    Returns (perm, inv) index arrays: ``x[..., perm, :]`` produces the
+    zig-zag layout; ``out[..., inv, :]`` restores natural order.
+    """
+    assert l % (2 * n) == 0, f"seq {l} must divide into 2*{n} chunks"
+    half = l // (2 * n)
+    chunks = [jnp.arange(i * half, (i + 1) * half) for i in range(2 * n)]
+    perm = jnp.concatenate(
+        [jnp.concatenate([chunks[i], chunks[2 * n - 1 - i]])
+         for i in range(n)])
+    inv = jnp.argsort(perm)
+    return perm, inv
+
+
 def ring_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     mesh: Mesh, axis: str = SEQ_AXIS,
     scale: Optional[float] = None,
     kv_valid_len: Optional[int] = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Exact attention with q/k/v sharded on seq over ``axis`` of ``mesh``.
 
@@ -77,6 +104,12 @@ def ring_attention(
     L must be a multiple of the axis size — pad and pass ``kv_valid_len``
     for ragged sequences (padded keys are masked by global position;
     padded query rows produce garbage the caller slices off).
+
+    ``causal=True`` additionally masks kv positions above the query's
+    global position AND re-lays the sequence out in zig-zag order
+    internally (:func:`zigzag_order`) so the triangular work is balanced
+    across devices; inputs and output stay in natural order. Requires
+    L % (2·axis_size) == 0.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -84,35 +117,52 @@ def ring_attention(
     l = k.shape[2]
     block = l // n
     spec = P(None, None, axis, None)
+    pos_spec = P(axis)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+    if causal:
+        zz, inv = zigzag_order(l, n)
+        q, k, v = q[:, :, zz], k[:, :, zz], v[:, :, zz]
+        positions = zz.astype(jnp.int32)   # global position of each row
+    else:
+        positions = jnp.arange(l, dtype=jnp.int32)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec, pos_spec),
                        out_specs=spec)
-    def inner(ql, kl, vl):
+    def inner(ql, kl, vl, posl):
         me = jax.lax.axis_index(axis)
 
-        def kv_mask(src):
-            if kv_valid_len is None or kv_valid_len == l:
-                return None
-            start = src * block
-            return start + jnp.arange(block) < kv_valid_len
+        def kv_mask(kv_pos):
+            """(Lq, Lk) or (Lk,) mask from the visiting block's global
+            positions; None when nothing is masked."""
+            valid = None
+            if kv_valid_len is not None and kv_valid_len != l:
+                valid = kv_pos < kv_valid_len
+            if causal:
+                m = kv_pos[None, :] <= posl[:, None]
+                return m if valid is None else m & valid[None, :]
+            return valid
 
-        out, lse = _attention_with_lse(ql, kl, vl, scale, kv_mask(me))
+        out, lse = _attention_with_lse(ql, kl, vl, scale, kv_mask(posl))
 
-        def hop(carry, step):
-            out, lse, kb, vb = carry
+        def hop(carry, _):
+            out, lse, kb, vb, pb = carry
             kb = jax.lax.ppermute(kb, axis, perm)
             vb = jax.lax.ppermute(vb, axis, perm)
-            src = (me - step - 1) % n  # block now visiting this device
-            o2, l2 = _attention_with_lse(ql, kb, vb, scale, kv_mask(src))
+            pb = jax.lax.ppermute(pb, axis, perm)
+            o2, l2 = _attention_with_lse(ql, kb, vb, scale, kv_mask(pb))
             out, lse = _merge_partials(out, lse, o2, l2)
-            return (out, lse, kb, vb), None
+            return (out, lse, kb, vb, pb), None
 
-        (out, lse, _, _), _ = jax.lax.scan(hop, (out, lse, kl, vl),
-                                           jnp.arange(n - 1))
+        (out, lse, _, _, _), _ = jax.lax.scan(
+            hop, (out, lse, kl, vl, posl), jnp.arange(n - 1))
         return out
 
-    return inner(q, k, v)
+    out = inner(q, k, v, positions)
+    if causal:
+        out = out[:, :, inv]
+    return out
 
 
 def ulysses_attention(

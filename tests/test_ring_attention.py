@@ -172,3 +172,43 @@ def test_mmdit_ring_attention_matches_flash(devices8):
     # joint seq = 154 + 16 = 170, padded to 176 over 8 devices
     got = ring_model.apply({"params": params}, x, t, y, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+def test_ring_attention_causal_zigzag_exact(devices8):
+    """Causal ring (zig-zag layout) ≡ single-device causal attention."""
+    mesh = build_mesh({"seq": 4}, devices8[:4])
+    q, k, v = _qkv(l=64, seed=11)
+    got = ring_attention(q, k, v, mesh, axis="seq", causal=True)
+    want = _xla_attention(q, k, v, None, True, 16**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ring_attention_causal_grad(devices8):
+    mesh = build_mesh({"seq": 4}, devices8[:4])
+    q, k, v = _qkv(l=32, h=2, seed=12)
+
+    g1 = jax.grad(lambda q: ring_attention(q, k, v, mesh, axis="seq",
+                                           causal=True).sum())(q)
+    g2 = jax.grad(lambda q: _xla_attention(q, k, v, None, True,
+                                           16**-0.5).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_zigzag_order_balances_causal_work():
+    """Each device's total visible (causal) kv pairs must be equal under
+    the zig-zag layout — the point of the reordering."""
+    from from_ddpm_to_stable_diffusion_tpu.parallel.ring_attention import (
+        zigzag_order)
+
+    l, n = 64, 4
+    perm, inv = zigzag_order(l, n)
+    perm = np.asarray(perm)
+    assert sorted(perm.tolist()) == list(range(l))
+    assert np.array_equal(np.asarray(inv)[perm], np.arange(l))
+    block = l // n
+    work = []
+    for dev in range(n):
+        q_pos = perm[dev * block:(dev + 1) * block]
+        # over the full ring, every device sees all kv positions once
+        work.append(int((np.arange(l)[None, :] <= q_pos[:, None]).sum()))
+    assert len(set(work)) == 1, f"unbalanced causal work: {work}"

@@ -28,9 +28,11 @@ STAGE_AXIS = "stage"
 
 EP_SPEC = {
     "axis": "expert",
-    "routing": "jax.lax.all_to_all token dispatch/combine over ICI",
+    "routing": "one-hot MXU dispatch/combine; expert resharding over ICI",
     "weights": "per-expert leading dim sharded over the expert axis",
-    "status": "spec-only: the reference capability set contains no MoE",
+    "status": "implemented: parallel.expert.SwitchFFN (top-1 Switch MoE, "
+              "capacity factor, EP via shard_map — no MoE exists in the "
+              "reference capability set; this completes the EP hook)",
 }
 
 

@@ -167,24 +167,35 @@ class DDPMTrainer:
                     state, start_epoch = restored, at
                     self.logger.log("resume", epoch=at)
         from ..io.data import prefetch_to_device
+        from ..utils.checkpoint import PreemptionGuard
 
         best_loss = float("inf")
-        for epoch in range(start_epoch, epochs or cfg.epoch):
-            t0 = time.perf_counter()
-            total, count = 0.0, 0
-            for images, labels in prefetch_to_device(loader, self.mesh):
-                state, loss = self.train_step(state, images, labels, rng)
-                total += float(loss)
-                count += 1
-            epoch_loss = total / max(count, 1)
-            dt = time.perf_counter() - t0
-            self.logger.log(
-                "epoch", epoch=epoch, loss=epoch_loss,
-                sec=round(dt, 2),
-                imgs_per_sec=round(count * cfg.batch_size / dt, 1))
-            if ckpt and epoch_loss < best_loss:
-                best_loss = epoch_loss
-                ckpt.save(epoch, jax.device_get(state))
+        with PreemptionGuard() as guard:
+            for epoch in range(start_epoch, epochs or cfg.epoch):
+                t0 = time.perf_counter()
+                total, count = 0.0, 0
+                for images, labels in prefetch_to_device(loader, self.mesh):
+                    state, loss = self.train_step(state, images, labels, rng)
+                    total += float(loss)
+                    count += 1
+                    if guard.should_stop:
+                        break
+                if guard.should_stop:
+                    # preemption (SIGTERM): save a resumable checkpoint at
+                    # the step boundary and exit cleanly
+                    if ckpt:
+                        ckpt.save(epoch, jax.device_get(state), force=True)
+                    self.logger.log("preempted", epoch=epoch)
+                    break
+                epoch_loss = total / max(count, 1)
+                dt = time.perf_counter() - t0
+                self.logger.log(
+                    "epoch", epoch=epoch, loss=epoch_loss,
+                    sec=round(dt, 2),
+                    imgs_per_sec=round(count * cfg.batch_size / dt, 1))
+                if ckpt and epoch_loss < best_loss:
+                    best_loss = epoch_loss
+                    ckpt.save(epoch, jax.device_get(state))
         return state
 
     # ---------------- sample ----------------

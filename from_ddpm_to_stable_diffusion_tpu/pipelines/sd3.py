@@ -191,9 +191,20 @@ class SD3Inferencer:
     (sd3_infer.py:383-405)."""
 
     def __init__(self, models: SD3Models, shift: float = 3.0,
-                 tokenizer=None):
+                 tokenizer=None, mesh=None):
         """``tokenizer``: an ``io.spm_tokenizer.SD3Tokenizer`` (CLIP + T5
-        trio). Required for the text-prompt entry points only."""
+        trio). Required for the text-prompt entry points only.
+
+        ``mesh``: tensor-parallel serving — MMDiT/CLIP/T5 attention and
+        MLP kernels shard over the mesh ``model`` axis
+        (parallel.sharding rules); GSPMD inserts the psums over ICI.
+        """
+        if mesh is not None:
+            from ..parallel.sharding import apply_tp
+
+            models.params = {k: (apply_tp(v, mesh) if v is not None else v)
+                             for k, v in models.params.items()}
+        self.mesh = mesh
         self.models = models
         self.shift = shift
         self.tokenizer = tokenizer

@@ -46,3 +46,46 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+class PreemptionGuard:
+    """Save-on-preemption hook (SURVEY §5: failure detection).
+
+    TPU preemption delivers SIGTERM; a context-managed guard flips
+    ``should_stop`` so the training loop can checkpoint and exit cleanly
+    at the next step boundary instead of dying mid-epoch:
+
+        with PreemptionGuard() as guard:
+            for epoch in ...:
+                if guard.should_stop:
+                    ckpt.save(epoch, state, force=True)
+                    break
+
+    Handlers are installed on entry and restored on exit; outside the main
+    thread (where signal.signal raises) the guard degrades to an inert
+    flag, so library code can use it unconditionally.
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self._signals = signals or (_signal.SIGTERM,)
+        self._previous = {}
+        self.should_stop = False
+
+    def __enter__(self):
+        def handler(signum, frame):
+            self.should_stop = True
+
+        for s in self._signals:
+            try:
+                self._previous[s] = self._signal.signal(s, handler)
+            except ValueError:  # not the main thread
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._previous.items():
+            self._signal.signal(s, prev)
+        return False

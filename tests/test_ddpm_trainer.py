@@ -65,3 +65,49 @@ def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_preemption_guard_saves_and_stops(tmp_path):
+    """SIGTERM mid-fit must save a resumable checkpoint and exit cleanly."""
+    import os
+    import signal
+    import threading
+
+    from from_ddpm_to_stable_diffusion_tpu.io import (DataLoader,
+                                                      SyntheticImageDataset)
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.ddpm_trainer import (
+        DDPMTrainer)
+    from from_ddpm_to_stable_diffusion_tpu.utils.config import TinySDConfig
+
+    cfg = TinySDConfig(epoch=500, batch_size=8, img_size=16, T=10,
+                       channel=32, dropout=0.0, dtype="fp32",
+                       warmup_epochs=1)
+    trainer = DDPMTrainer(cfg)
+    loader = DataLoader(SyntheticImageDataset(16, 16), 8)
+    # pay the train-step compile up front so the SIGTERM below lands
+    # inside fit's PreemptionGuard window, not during compilation (where
+    # the default handler would kill the process). The warmup state is a
+    # THROWAWAY: train_step donates its state argument, so the buffers
+    # are dead afterwards.
+    warm = trainer.create_state(steps_per_epoch=2)
+    for images, labels in loader:
+        trainer.train_step(warm, images, labels,
+                           __import__("jax").random.key(0))
+        break
+    state0 = trainer.create_state(steps_per_epoch=2)
+
+    # deliver SIGTERM shortly after training starts; the 500-epoch fit
+    # must return early instead of running to completion
+    killer = threading.Timer(8.0, lambda: os.kill(os.getpid(),
+                                                  signal.SIGTERM))
+    killer.start()
+    try:
+        state = trainer.fit(loader, state=state0,
+                            checkpoint_dir=str(tmp_path))
+    finally:
+        killer.cancel()
+    assert state is not None
+    from from_ddpm_to_stable_diffusion_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    assert CheckpointManager(str(tmp_path)).latest_step is not None

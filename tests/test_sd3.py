@@ -299,3 +299,21 @@ def test_sd3_keep_trajectory_previews():
     assert img.shape == (1, 64, 64, 3)
     assert previews.shape == (3, 8, 8, 3)  # one RGB preview per step
     assert previews.dtype == np.uint8
+
+
+def test_sd3_inferencer_tp_mesh_matches_single_device():
+    """TP-sharded SD3 serving (mesh=) must equal the unsharded pipeline."""
+    from from_ddpm_to_stable_diffusion_tpu.parallel import build_mesh
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    tokens = np.zeros((1, 77), np.int32)
+    ref = SD3Inferencer(_tiny_sd3_models(), shift=3.0).gen_image(
+        tokens, t5_tokens=tokens, width=64, height=64, steps=2, seed=3)
+
+    mesh = build_mesh({"model": 2}, jax.devices()[:2])
+    got = SD3Inferencer(_tiny_sd3_models(), shift=3.0, mesh=mesh).gen_image(
+        tokens, t5_tokens=tokens, width=64, height=64, steps=2, seed=3)
+
+    assert got.shape == ref.shape
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"

@@ -32,6 +32,9 @@ def main(argv=None):
                    help="dir with clip.pt/diffusion.pt/encoder.pt/decoder.pt"
                         " + vocab.json/merges.txt (reference layout)")
     g.add_argument("--dtype", default="bf16")
+    g.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel serving over N devices (shards "
+                        "attention/GEGLU kernels on the model mesh axis)")
     g.add_argument("--out", default="sd1_{i}.png")
     args = ap.parse_args(argv)
 
@@ -71,6 +74,14 @@ def main(argv=None):
         print("[sd1] no --ckpt-dir: random weights (smoke-test mode)")
         models = SD1Models.initialize(jax.random.key(0), dtype=args.dtype,
                                       height=args.height, width=args.width)
+
+    if args.tp > 1:
+        from ..parallel import build_mesh
+        from ..parallel.sharding import apply_tp
+
+        mesh = build_mesh({"model": args.tp}, jax.devices()[:args.tp])
+        models.params = {k: apply_tp(v, mesh)
+                         for k, v in models.params.items()}
 
     input_images = None
     if args.input_image:

@@ -40,6 +40,9 @@ def main(argv=None):
                    help="T5 SentencePiece model file (spiece.model)")
     g.add_argument("--offload-text-encoders", action="store_true",
                    help="free CLIP/T5 HBM after conditioning (16GB plan)")
+    g.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel serving over N devices (shards "
+                        "MMDiT/CLIP/T5 kernels on the model mesh axis)")
     g.add_argument("--save-trajectory", action="store_true",
                    help="also save a grid of per-step latent RGB previews")
     g.add_argument("--out", default="sd3_out.png")
@@ -80,7 +83,15 @@ def main(argv=None):
                  ("<unk>", 0.0, UNKNOWN)]))
         tokenizer = SD3Tokenizer(clip_tok, t5_tok)
 
-    inf = SD3Inferencer(models, shift=args.shift, tokenizer=tokenizer)
+    mesh = None
+    if args.tp > 1:
+        import jax
+
+        from ..parallel import build_mesh
+
+        mesh = build_mesh({"model": args.tp}, jax.devices()[:args.tp])
+    inf = SD3Inferencer(models, shift=args.shift, tokenizer=tokenizer,
+                        mesh=mesh)
     kwargs = dict(width=args.width, height=args.height, steps=args.steps,
                   cfg_scale=args.cfg_scale, seed=args.seed,
                   offload_text_encoders=args.offload_text_encoders,

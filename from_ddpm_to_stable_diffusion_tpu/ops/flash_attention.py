@@ -137,6 +137,9 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    # block_q=2048 measures ~10% faster standalone at (2,8,4096,40) but
+    # fails to compile inside the full SD1 UNet program on the v5e
+    # remote-compile service; 1024 is the safe default everywhere.
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
     has_bias = bias is not None

@@ -125,23 +125,34 @@ class VAETrainer:
             from ..utils.checkpoint import CheckpointManager
 
             ckpt = CheckpointManager(checkpoint_dir)
+        from ..utils.checkpoint import PreemptionGuard
+
         best = float("inf")
-        for epoch in range(epochs or cfg.epoch):
-            t0 = time.perf_counter()
-            total, count = 0.0, 0
-            for batch in loader:
-                images = batch[0] if isinstance(batch, tuple) else batch
-                state, metrics = self.train_step(state, images, rng)
-                total += float(metrics["loss"])
-                count += 1
-            loss = total / max(count, 1)
-            self.logger.log("epoch", epoch=epoch, loss=loss,
-                            sec=round(time.perf_counter() - t0, 2))
-            if ckpt and loss < best:
-                best = loss
-                ckpt.save(epoch, jax.device_get(state))
-            if preview_batch is not None and preview_dir:
-                self._save_preview(state, preview_batch, preview_dir, epoch)
+        with PreemptionGuard() as guard:
+            for epoch in range(epochs or cfg.epoch):
+                t0 = time.perf_counter()
+                total, count = 0.0, 0
+                for batch in loader:
+                    images = batch[0] if isinstance(batch, tuple) else batch
+                    state, metrics = self.train_step(state, images, rng)
+                    total += float(metrics["loss"])
+                    count += 1
+                    if guard.should_stop:
+                        break
+                if guard.should_stop:
+                    if ckpt:
+                        ckpt.save(epoch, jax.device_get(state), force=True)
+                    self.logger.log("preempted", epoch=epoch)
+                    break
+                loss = total / max(count, 1)
+                self.logger.log("epoch", epoch=epoch, loss=loss,
+                                sec=round(time.perf_counter() - t0, 2))
+                if ckpt and loss < best:
+                    best = loss
+                    ckpt.save(epoch, jax.device_get(state))
+                if preview_batch is not None and preview_dir:
+                    self._save_preview(state, preview_batch, preview_dir,
+                                       epoch)
         return state
 
     def _save_preview(self, state, images, out_dir, epoch):

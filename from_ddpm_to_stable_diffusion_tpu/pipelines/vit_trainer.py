@@ -101,20 +101,32 @@ class ViTTrainer:
             from ..utils.checkpoint import CheckpointManager
 
             ckpt = CheckpointManager(checkpoint_dir)
+        from ..utils.checkpoint import PreemptionGuard
+
         best_acc = -1.0
-        for epoch in range(epochs or cfg.epoch):
-            t0 = time.perf_counter()
-            total, count = 0.0, 0
-            for images, labels in train_loader:
-                state, loss, acc = self.train_step(state, images, labels, rng)
-                total += float(loss)
-                count += 1
-            metrics = dict(epoch=epoch, loss=total / max(count, 1),
-                           sec=round(time.perf_counter() - t0, 2))
-            if val_loader is not None:
-                metrics["val_acc"] = round(self.evaluate(state, val_loader), 4)
-            self.logger.log("epoch", **metrics)
-            if ckpt and metrics.get("val_acc", 0.0) > best_acc:
-                best_acc = metrics.get("val_acc", 0.0)
-                ckpt.save(epoch, jax.device_get(state))
+        with PreemptionGuard() as guard:
+            for epoch in range(epochs or cfg.epoch):
+                t0 = time.perf_counter()
+                total, count = 0.0, 0
+                for images, labels in train_loader:
+                    state, loss, acc = self.train_step(state, images, labels,
+                                                       rng)
+                    total += float(loss)
+                    count += 1
+                    if guard.should_stop:
+                        break
+                if guard.should_stop:
+                    if ckpt:
+                        ckpt.save(epoch, jax.device_get(state), force=True)
+                    self.logger.log("preempted", epoch=epoch)
+                    break
+                metrics = dict(epoch=epoch, loss=total / max(count, 1),
+                               sec=round(time.perf_counter() - t0, 2))
+                if val_loader is not None:
+                    metrics["val_acc"] = round(
+                        self.evaluate(state, val_loader), 4)
+                self.logger.log("epoch", **metrics)
+                if ckpt and metrics.get("val_acc", 0.0) > best_acc:
+                    best_acc = metrics.get("val_acc", 0.0)
+                    ckpt.save(epoch, jax.device_get(state))
         return state

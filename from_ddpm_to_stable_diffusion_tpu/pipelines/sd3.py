@@ -147,18 +147,25 @@ class SD3Models:
                                dtype=dt)
         t5 = T5Encoder(t5_config or T5Config(), dtype=dt) if with_t5 else None
         ks = jax.random.split(rng, 6)
-        hs = cfg.hidden_size
+        # jit each init: ONE compiled program per model instead of hundreds
+        # of eager single-op dispatches (minutes-vs-seconds on the
+        # remote-compile tunnel with a cold cache)
         params = {
-            "mmdit": mmdit.init(
+            "mmdit": jax.jit(mmdit.init)(
                 ks[0], jnp.zeros((1, 16, 16, 16)), jnp.zeros((1,)),
                 jnp.zeros((1, 2048)), jnp.zeros((1, 154, 4096)))["params"],
-            "vae_encoder": vae_e.init(ks[1], jnp.zeros((1, 32, 32, 3)))["params"],
-            "vae_decoder": vae_d.init(ks[2], jnp.zeros((1, 4, 4, 16)))["params"],
-            "clip_l": clip_l.init(ks[3], jnp.zeros((1, 77), jnp.int32))["params"],
-            "clip_g": clip_g.init(ks[4], jnp.zeros((1, 77), jnp.int32))["params"],
+            "vae_encoder": jax.jit(vae_e.init)(
+                ks[1], jnp.zeros((1, 32, 32, 3)))["params"],
+            "vae_decoder": jax.jit(vae_d.init)(
+                ks[2], jnp.zeros((1, 4, 4, 16)))["params"],
+            "clip_l": jax.jit(clip_l.init)(
+                ks[3], jnp.zeros((1, 77), jnp.int32))["params"],
+            "clip_g": jax.jit(clip_g.init)(
+                ks[4], jnp.zeros((1, 77), jnp.int32))["params"],
         }
         if with_t5:
-            params["t5"] = t5.init(ks[5], jnp.zeros((1, 77), jnp.int32))["params"]
+            params["t5"] = jax.jit(t5.init)(
+                ks[5], jnp.zeros((1, 77), jnp.int32))["params"]
         return cls(mmdit, vae_e, vae_d, clip_l, clip_g, t5,
                    _store_params(params, dt))
 

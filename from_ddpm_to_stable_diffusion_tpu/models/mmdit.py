@@ -167,6 +167,7 @@ class JointBlock(nn.Module):
     dtype: Dtype = jnp.float32
     mesh: Optional[object] = None
     seq_axis: str = "seq"
+    seq_impl: str = "ring"   # 'ring' | 'ulysses' (when mesh is set)
 
     def setup(self):
         self.context_block = DismantledBlock(
@@ -186,18 +187,21 @@ class JointBlock(nn.Module):
         q, k, v = (jnp.concatenate([cq, xq], axis=1)
                    for cq, xq in zip(ctx_qkv, x_qkv))
         if self.mesh is not None:
-            from ..parallel.ring_attention import ring_attention
+            from ..parallel.ring_attention import (ring_attention,
+                                                   ulysses_attention)
 
             n = self.mesh.shape[self.seq_axis]
             l_actual = q.shape[1]
             pad = (-l_actual) % n
             t = lambda a: a.transpose(0, 2, 1, 3)
-            q, k, v = t(q), t(k), t(v)  # ring contract is (B, H, L, D)
+            q, k, v = t(q), t(k), t(v)  # SP contract is (B, H, L, D)
             if pad:
                 widths = ((0, 0), (0, 0), (0, pad), (0, 0))
                 q, k, v = (jnp.pad(a, widths) for a in (q, k, v))
-            out = ring_attention(q, k, v, self.mesh, self.seq_axis,
-                                 kv_valid_len=l_actual)[:, :, :l_actual]
+            sp = (ulysses_attention if self.seq_impl == "ulysses"
+                  else ring_attention)
+            out = sp(q, k, v, self.mesh, self.seq_axis,
+                     kv_valid_len=l_actual)[:, :, :l_actual]
             b, h, l, d = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
         else:
@@ -223,8 +227,9 @@ class MMDiTConfig:
     pos_embed_max_size: int = 192
     qk_norm: Optional[str] = None
     qkv_bias: bool = True
-    # 'flash' (single-chip Pallas kernel) | 'ring' (sequence-parallel over
-    # a mesh axis; pass mesh= to MMDiT)
+    # 'flash' (single-chip Pallas kernel) | 'ring' | 'ulysses'
+    # (sequence-parallel over a mesh axis; pass mesh= to MMDiT — see
+    # docs/RING_SCALING.md for the crossover analysis)
     attention_impl: str = "flash"
 
     @property
@@ -268,12 +273,14 @@ class MMDiT(nn.Module):
                                name="context_embedder")(
                                    context.astype(self.dtype))
 
-        ring_mesh = self.mesh if cfg.attention_impl == "ring" else None
+        sp_mesh = (self.mesh if cfg.attention_impl in ("ring", "ulysses")
+                   else None)
         for i in range(cfg.depth):
             context, xe = JointBlock(
                 hs, cfg.depth, cfg.mlp_ratio, cfg.qkv_bias,
                 context_pre_only=(i == cfg.depth - 1), qk_norm=cfg.qk_norm,
-                dtype=self.dtype, mesh=ring_mesh, seq_axis=self.seq_axis,
+                dtype=self.dtype, mesh=sp_mesh, seq_axis=self.seq_axis,
+                seq_impl=cfg.attention_impl,
                 name=f"joint_block{i}")(context, xe, c)
 
         # final adaLN layer → (B, L, p²·C)

@@ -169,12 +169,19 @@ def ulysses_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     mesh: Mesh, axis: str = SEQ_AXIS,
     scale: Optional[float] = None,
+    kv_valid_len: Optional[int] = None,
 ) -> jax.Array:
-    """Exact attention via all-to-all head↔sequence re-sharding."""
+    """Exact attention via all-to-all head↔sequence re-sharding.
+
+    ``kv_valid_len``: for padded (ragged) sequences — keys at global
+    position ≥ valid_len are masked out (padded QUERY rows still produce
+    garbage the caller slices off, same contract as ring_attention).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = mesh.shape[axis]
     h = q.shape[1]
+    l = k.shape[2]
     assert h % n == 0, f"heads {h} must divide over axis size {n}"
     spec = P(None, None, axis, None)
 
@@ -185,7 +192,10 @@ def ulysses_attention(
         a2a = functools.partial(jax.lax.all_to_all, axis_name=axis,
                                 split_axis=1, concat_axis=2, tiled=True)
         qh, kh, vh = a2a(ql), a2a(kl), a2a(vl)
-        out, _ = _attention_with_lse(qh, kh, vh, scale)
+        mask = None
+        if kv_valid_len is not None and kv_valid_len != l:
+            mask = jnp.arange(l) < kv_valid_len  # full L is local post-a2a
+        out, _ = _attention_with_lse(qh, kh, vh, scale, mask)
         # back: (B, H/n, L, D) → (B, H, L/n, D)
         return jax.lax.all_to_all(out, axis_name=axis, split_axis=2,
                                   concat_axis=1, tiled=True)

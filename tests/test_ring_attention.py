@@ -212,3 +212,44 @@ def test_zigzag_order_balances_causal_work():
         # over the full ring, every device sees all kv positions once
         work.append(int((np.arange(l)[None, :] <= q_pos[:, None]).sum()))
     assert len(set(work)) == 1, f"unbalanced causal work: {work}"
+
+
+def test_ulysses_ragged_kv_mask(devices8):
+    """Ulysses with kv_valid_len must mask padded keys exactly."""
+    mesh = build_mesh({"seq": 4}, devices8[:4])
+    rng = np.random.default_rng(6)
+    l_valid, l_pad = 50, 64
+    q = jnp.asarray(rng.standard_normal((1, 4, l_pad, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 4, l_pad, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 4, l_pad, 16)), jnp.float32)
+    got = ulysses_attention(q, k, v, mesh, axis="seq", kv_valid_len=l_valid)
+    want = _xla_attention(q, k[:, :, :l_valid], v[:, :, :l_valid],
+                          None, False, 16**-0.5)
+    np.testing.assert_allclose(np.asarray(got[:, :, :l_valid]),
+                               np.asarray(want[:, :, :l_valid]), atol=2e-5)
+
+
+def test_mmdit_ulysses_attention_matches_flash(devices8):
+    """MMDiT with Ulysses sequence parallelism == single-device MMDiT."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+
+    cfg = MMDiTConfig(depth=2, pos_embed_max_size=8)
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 16))
+    t = jnp.asarray([300.0])
+    y = jax.random.normal(jax.random.key(1), (1, 2048))
+    ctx = jax.random.normal(jax.random.key(2), (1, 154, 4096))
+    base = MMDiT(cfg)
+    params = base.init(jax.random.key(3), x, t, y, ctx)["params"]
+    want = base.apply({"params": params}, x, t, y, ctx)
+
+    # heads = depth = 2 -> 2-way Ulysses (heads % n == 0)
+    mesh = build_mesh({"seq": 2}, devices8[:2])
+    uly_cfg = dataclasses.replace(cfg, attention_impl="ulysses")
+    uly_model = MMDiT(uly_cfg, mesh=mesh)
+    got = uly_model.apply({"params": params}, x, t, y, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)

@@ -129,6 +129,7 @@ def test_apply_preserves_mean_and_scales():
 
 
 # --------------------------------------------------------------- pipeline
+@pytest.mark.slow  # full-model compile dominates
 def test_sd1_generate_prompt_weighting_smoke(tok):
     from from_ddpm_to_stable_diffusion_tpu.models.sd1 import (
         CLIPText, SD1UNet, VAEDecoder, VAEEncoder)

@@ -23,6 +23,7 @@ def _roundtrip(model, init_args, rules):
                 *init_args)
 
 
+@pytest.mark.slow  # full-model compile dominates
 def test_mmdit_mapping_roundtrip():
     from from_ddpm_to_stable_diffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
 

@@ -91,6 +91,44 @@ class SyntheticImageDataset:
         return img, int(idx % self.num_classes)
 
 
+class SyntheticVideoDataset:
+    """Deterministic moving-shape clips for video-diffusion tests/demos.
+
+    Each item is a (T, S, S, 3) clip in [-1, 1]: a bright square whose
+    motion direction is the CLASS label (0=right, 1=down, 2=diagonal) —
+    per-frame appearance is identical across classes, so a model can only
+    separate them by learning TEMPORAL structure (exactly what the
+    factorized temporal-attention layers exist for).
+    """
+
+    def __init__(self, n: int, img_size: int, frames: int = 8,
+                 num_classes: int = 3, seed: int = 0):
+        self.n = n
+        self.img_size = img_size
+        self.frames = frames
+        self.num_classes = num_classes
+        self.seed = seed
+        self.class_names = ["right", "down", "diag"][:num_classes]
+
+    def __len__(self):
+        return self.n
+
+    def load(self, idx: int):
+        rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+        label = int(idx % self.num_classes)
+        s = self.img_size
+        sq = max(2, s // 4)
+        x0 = int(rng.integers(0, s - sq - self.frames))
+        y0 = int(rng.integers(0, s - sq - self.frames))
+        dx, dy = [(1, 0), (0, 1), (1, 1)][label]
+        color = rng.uniform(0.5, 1.0, (3,)).astype(np.float32)
+        clip = np.full((self.frames, s, s, 3), -1.0, np.float32)
+        for f in range(self.frames):
+            xx, yy = x0 + f * dx, y0 + f * dy
+            clip[f, yy:yy + sq, xx:xx + sq] = color
+        return clip, label
+
+
 def prefetch_to_device(iterator, mesh=None, size: int = 2):
     """Stage upcoming batches on device (batch-sharded over the mesh's data
     axis) so host→HBM transfer overlaps the current step's compute."""

@@ -53,14 +53,20 @@ class DDPMTrainer:
 
     def __init__(self, config: TinySDConfig, mesh=None,
                  logger: Optional[MetricsLogger] = None,
-                 latent_encode_fn=None, latent_decode_fn=None):
+                 latent_encode_fn=None, latent_decode_fn=None,
+                 model=None, sample_shape=None):
+        """``model``: any ε-predictor with ``apply(vars, x, t, labels,
+        deterministic=, rngs=)`` — defaults to the stage-06 TinyUNet; pass
+        e.g. ``models.tiny_video_unet.TinyVideoUNet`` with
+        ``sample_shape=(T, H, W, C)`` for clip-shaped data (the DDPM
+        machinery is rank-generic)."""
         self.cfg = config
         self.mesh = mesh if mesh is not None else build_mesh(config.mesh_shape)
         self.logger = logger or MetricsLogger()
         self.latent_encode_fn = latent_encode_fn
         self.latent_decode_fn = latent_decode_fn
         policy = POLICIES[config.dtype]
-        self.model = TinyUNet(
+        self.model = model if model is not None else TinyUNet(
             out_channels=config.img_channel,
             base_channels=config.channel,
             channel_mult=tuple(config.channel_multy),
@@ -68,6 +74,8 @@ class DDPMTrainer:
             dropout=config.dropout,
             dtype=policy.compute_dtype,
         )
+        self.sample_shape = tuple(sample_shape) if sample_shape else (
+            config.img_size, config.img_size, config.img_channel)
         self.tables = schedules.ddpm_tables(config.beta_1, config.beta_T,
                                             config.T)
         self._train_step = None
@@ -78,7 +86,7 @@ class DDPMTrainer:
         cfg = self.cfg
         if rng is None:
             rng = jax.random.key(cfg.seed)
-        x = jnp.zeros((1, cfg.img_size, cfg.img_size, cfg.img_channel))
+        x = jnp.zeros((1,) + self.sample_shape)
         params = self.model.init(rng, x, jnp.zeros((1,), jnp.int32),
                                  jnp.zeros((1,), jnp.int32))["params"]
         lr = schedules.cosine_warmup_lr(cfg.lr, cfg.max_lr, cfg.warmup_epochs,
@@ -213,9 +221,8 @@ class DDPMTrainer:
             @jax.jit
             def sample_fn(params, labels, rng):
                 noise_key, samp_key = jax.random.split(rng)
-                x_T = jax.random.normal(
-                    noise_key,
-                    (n, cfg.img_size, cfg.img_size, cfg.img_channel))
+                x_T = jax.random.normal(noise_key,
+                                        (n,) + self.sample_shape)
 
                 def apply(x, t, y):
                     return self.model.apply({"params": params}, x, t, y)

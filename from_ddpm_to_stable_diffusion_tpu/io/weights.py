@@ -20,7 +20,6 @@ directly (row order q|k|v matches our split convention).
 
 from __future__ import annotations
 
-import re
 from typing import Any, Callable, Dict, List, Tuple
 
 import numpy as np

@@ -12,7 +12,6 @@ from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax.training import train_state
 

@@ -23,7 +23,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import schedules
 

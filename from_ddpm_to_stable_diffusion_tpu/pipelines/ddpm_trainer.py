@@ -87,8 +87,11 @@ class DDPMTrainer:
         if rng is None:
             rng = jax.random.key(cfg.seed)
         x = jnp.zeros((1,) + self.sample_shape)
-        params = self.model.init(rng, x, jnp.zeros((1,), jnp.int32),
-                                 jnp.zeros((1,), jnp.int32))["params"]
+        # jitted init: one compiled program, not hundreds of eager
+        # single-op dispatches (slow on the remote-compile tunnel)
+        params = jax.jit(self.model.init)(
+            rng, x, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32))["params"]
         lr = schedules.cosine_warmup_lr(cfg.lr, cfg.max_lr, cfg.warmup_epochs,
                                         cfg.epoch, steps_per_epoch)
         tx = optax.chain(

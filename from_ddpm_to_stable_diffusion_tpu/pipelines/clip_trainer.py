@@ -73,16 +73,37 @@ class CLIPTrainer:
         return self._train_step(state, images, tokens)
 
     def fit(self, loader: Iterable, state=None, epochs: int = 1,
-            image_shape=(224, 224, 3), text_len: int = 77):
+            image_shape=(224, 224, 3), text_len: int = 77,
+            checkpoint_dir=None):
         if state is None:
             state = self.create_state(image_shape, text_len)
-        for epoch in range(epochs):
-            t0 = time.perf_counter()
-            total, count = 0.0, 0
-            for images, tokens in loader:
-                state, loss = self.train_step(state, images, tokens)
-                total += float(loss)
-                count += 1
-            self.logger.log("epoch", epoch=epoch, loss=total / max(count, 1),
-                            sec=round(time.perf_counter() - t0, 2))
+        ckpt = None
+        if checkpoint_dir:
+            from ..utils.checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(checkpoint_dir)
+        from ..utils.checkpoint import PreemptionGuard
+
+        best = float("inf")
+        with PreemptionGuard() as guard:
+            for epoch in range(epochs):
+                t0 = time.perf_counter()
+                total, count = 0.0, 0
+                for images, tokens in loader:
+                    state, loss = self.train_step(state, images, tokens)
+                    total += float(loss)
+                    count += 1
+                    if guard.should_stop:
+                        break
+                if guard.should_stop:
+                    if ckpt:
+                        ckpt.save(epoch, jax.device_get(state), force=True)
+                    self.logger.log("preempted", epoch=epoch)
+                    break
+                epoch_loss = total / max(count, 1)
+                self.logger.log("epoch", epoch=epoch, loss=epoch_loss,
+                                sec=round(time.perf_counter() - t0, 2))
+                if ckpt and epoch_loss < best:
+                    best = epoch_loss
+                    ckpt.save(epoch, jax.device_get(state))
         return state

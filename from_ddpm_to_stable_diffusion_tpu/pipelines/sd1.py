@@ -276,9 +276,13 @@ class SD1Generator:
             {"params": p}, toks))
         self._decode = jax.jit(lambda p, z: to_uint8(
             models.decoder.apply({"params": p}, z)))
-        # the jitted sampler step is built lazily per (batch, rng) — the
-        # denoise body closes over the text context, which changes per call,
-        # so context rides in the carry to keep ONE compiled executable
+        self._encode = jax.jit(lambda p, x, n: models.encoder.apply(
+            {"params": p}, x, n))
+        # the jitted sampler step is built lazily per (batch, start_step) —
+        # the denoise body closes over the text context, which changes per
+        # call, so context rides in the carry to keep ONE compiled
+        # executable per key (img2img strengths change start_step, which
+        # changes the baked LMS coefficient table)
         self._step_cache = {}
 
     def _denoise_fn(self, unet_params, x, timestep, context):
@@ -308,24 +312,35 @@ class SD1Generator:
         loop issues pure async dispatches with no per-step host→device
         transfer, so wall-clock tracks device time.
         """
-        if batch not in self._step_cache:
+        return self._get_step_for(batch, self.cfg, self.tables)
+
+    def _get_step_for(self, batch: int, cfg, tables):
+        key = (batch, tables["start_step"])
+        if key not in self._step_cache:
             def body(unet_params, carry):
-                inner, ctx, key, t = carry
+                inner, ctx, k, t = carry
                 sampler_body, _, _ = make_sampler_body(
                     lambda x, tt: self._denoise_fn(unet_params, x, tt, ctx),
-                    self.cfg, rng=key, tables=self.tables)
+                    cfg, rng=k, tables=tables)
                 inner, _ = sampler_body(inner, t)
-                return (inner, ctx, key, t + 1)
+                return (inner, ctx, k, t + 1)
 
-            self._step_cache[batch] = jax.jit(body, donate_argnums=1)
-        return self._step_cache[batch]
+            self._step_cache[key] = jax.jit(body, donate_argnums=1)
+        return self._step_cache[key]
 
     def __call__(self, prompts: Sequence[str],
                  uncond_prompts: Optional[Sequence[str]] = None,
-                 seed: Optional[int] = None) -> np.ndarray:
+                 seed: Optional[int] = None,
+                 input_images: Optional[Sequence[np.ndarray]] = None,
+                 strength: float = 0.8) -> np.ndarray:
+        """txt2img, or img2img when ``input_images`` (uint8 HWC arrays at
+        the pipeline size) are given: latents start from the VAE-encoded
+        image noised to σ[start_step] and the SAME compiled step runs the
+        remaining steps (the step index lives in the carry, so partial
+        trajectories reuse the txt2img executable)."""
         b = len(prompts)
         rng = jax.random.key(0 if seed is None else seed)
-        _, noise_key, _, anc_key = jax.random.split(rng, 4)
+        _, noise_key, enc_key, anc_key = jax.random.split(rng, 4)
         uncond_prompts = list(uncond_prompts or [""] * b)
         token_weights = None
         if self.tokenizer is None:
@@ -350,16 +365,30 @@ class SD1Generator:
                 context, np.asarray(token_weights, np.float32))
 
         h8, w8 = self.height // 8, self.width // 8
-        latents = jax.random.normal(noise_key, (b, h8, w8, 4)) \
-            * self.tables["initial_scale"]
+        if input_images is not None:
+            if not 0.0 < strength <= 1.0:
+                raise ValueError("strength must be between 0 and 1")
+            cfg = dataclasses.replace(self.cfg, strength=strength)
+            tables = sigma_tables(cfg)
+            imgs = np.stack([np.asarray(im, np.float32)
+                             for im in input_images])
+            imgs = rescale(jnp.asarray(imgs), (0, 255), (-1, 1))
+            enc_noise = jax.random.normal(enc_key, (b, h8, w8, 4))
+            latents = self._encode(self.models.params["encoder"], imgs,
+                                   enc_noise)
+            latents = latents + jax.random.normal(noise_key, latents.shape) \
+                * tables["initial_scale"]
+        else:
+            cfg, tables = self.cfg, self.tables
+            latents = jax.random.normal(noise_key, (b, h8, w8, 4)) \
+                * tables["initial_scale"]
         _, make_carry, extract = make_sampler_body(
-            lambda x, t: x, self.cfg, rng=anc_key, tables=self.tables)
+            lambda x, t: x, cfg, rng=anc_key, tables=tables)
         carry = (make_carry(latents), context, anc_key,
-                 jnp.int32(self.tables["start_step"]))
-        step = self._get_step(b)
+                 jnp.int32(tables["start_step"]))
+        step = self._get_step_for(b, cfg, tables)
         unet_params = self.models.params["unet"]
-        for _ in range(self.tables["start_step"],
-                       self.cfg.n_inference_steps):
+        for _ in range(tables["start_step"], cfg.n_inference_steps):
             carry = step(unet_params, carry)
         return np.asarray(self._decode(self.models.params["decoder"],
                                        extract(carry[0])))

@@ -165,3 +165,23 @@ def test_generate_deterministic_per_seed(fake_models):
                  n_inference_steps=2, seed=43)
     np.testing.assert_array_equal(a, b)
     assert np.abs(a.astype(int) - c.astype(int)).max() > 0
+
+
+def test_sd1_generator_img2img_matches_generate(fake_models):
+    """Serving-path img2img (partial trajectory through the SAME step
+    executable machinery) must reproduce generate()'s img2img branch."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import (SD1Generator,
+                                                                 generate)
+
+    img = np.random.default_rng(3).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    want = generate(["a cat"], fake_models, input_images=[img],
+                    strength=0.6, height=64, width=64,
+                    n_inference_steps=5, seed=9)
+    gen = SD1Generator(fake_models, n_inference_steps=5,
+                       height=64, width=64)
+    got = gen(["a cat"], seed=9, input_images=[img], strength=0.6)
+    np.testing.assert_allclose(got.astype(np.int16), want.astype(np.int16),
+                               atol=1)
+    # txt2img on the same generator still works (separate step cache key)
+    assert gen(["a cat"], seed=9).shape == (1, 64, 64, 3)

@@ -141,3 +141,15 @@ def test_shapes_dataset_classes():
     a, _ = ds.load(3)
     b, _ = ds.load(3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_video_cli_train_and_sample(tmp_path):
+    from from_ddpm_to_stable_diffusion_tpu.cli import video
+
+    out = tmp_path / "grid.png"
+    rc = video.main([
+        "train", "--epochs", "1", "--clips", "8", "--img-size", "16",
+        "--frames", "2", "--batch-size", "8", "--channel", "32",
+        "--T", "5", "--dtype", "fp32", "--out", str(out)])
+    assert rc == 0
+    assert out.exists() or out.with_suffix(".png.npy").exists()

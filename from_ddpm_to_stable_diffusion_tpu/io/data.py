@@ -118,8 +118,9 @@ class SyntheticVideoDataset:
         label = int(idx % self.num_classes)
         s = self.img_size
         sq = max(2, s // 4)
-        x0 = int(rng.integers(0, s - sq - self.frames))
-        y0 = int(rng.integers(0, s - sq - self.frames))
+        hi = max(1, s - sq - self.frames)  # keep full motion in-bounds
+        x0 = int(rng.integers(0, hi))
+        y0 = int(rng.integers(0, hi))
         dx, dy = [(1, 0), (0, 1), (1, 1)][label]
         color = rng.uniform(0.5, 1.0, (3,)).astype(np.float32)
         clip = np.full((self.frames, s, s, 3), -1.0, np.float32)

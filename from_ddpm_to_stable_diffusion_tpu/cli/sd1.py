@@ -89,6 +89,10 @@ def main(argv=None):
             Image.open(p).convert("RGB").resize((args.width, args.height)))
             for p in args.input_image]
 
+    # generate() retraces (and recompiles, minutes on the 860M UNet) on
+    # EVERY call — right for a one-shot CLI invocation.  Anything calling
+    # in a loop (serving, sweeps) must use SD1Generator: compile-once,
+    # params as runtime arguments.
     images = generate(
         args.prompt, models, tokenizer=tokenizer,
         uncond_prompts=args.uncond_prompt, input_images=input_images,

@@ -472,3 +472,373 @@ def _vjp_bwd_xla(causal, scale, block_q, block_k, res, g):
 
 
 flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Position-aware flash kernels — the per-hop primitive for ring attention.
+#
+# Ring attention shards the sequence over a mesh axis; each hop attends the
+# local Q block against a *visiting* K/V block whose GLOBAL positions are not
+# its local indices (and, under the causal zig-zag layout, not even
+# contiguous: each device holds chunk pair (i, 2n-1-i)).  These kernels mask
+# by global position computed in-kernel from two scalar segment offsets held
+# in SMEM — so per-hop memory is O(block_q·block_k) in VMEM, never a
+# materialized (Lq_local, Lk_local) logits tensor.  Local index idx maps to
+#   pos = off[0] + idx            if idx <  seg
+#   pos = off[1] + (idx - seg)    otherwise
+# (one contiguous span is expressed as seg = L_local).
+# ---------------------------------------------------------------------------
+
+
+def _pos_of(idx, off_ref, seg):
+    """Global position of local index array ``idx`` (2-D int32)."""
+    return jnp.where(idx < seg, off_ref[0] + idx, off_ref[1] + (idx - seg))
+
+
+def _pos_bounds(start, length, off_ref, seg, actual):
+    """Scalar (min_pos, max_pos) over local index range [start, start+length)
+    clamped to [0, actual) — for whole-block skip decisions."""
+    end = jnp.minimum(start + length, actual) - 1
+    has0 = start < seg
+    has1 = end >= seg
+    lo0 = off_ref[0] + start
+    hi0 = off_ref[0] + jnp.minimum(end, seg - 1)
+    lo1 = off_ref[1] + jnp.maximum(start, seg) - seg
+    hi1 = off_ref[1] + (end - seg)
+    both = jnp.logical_and(has0, has1)
+    min_pos = jnp.where(both, jnp.minimum(lo0, lo1),
+                        jnp.where(has0, lo0, lo1))
+    max_pos = jnp.where(both, jnp.maximum(hi0, hi1),
+                        jnp.where(has0, hi0, hi1))
+    return min_pos, max_pos
+
+
+def _pos_mask(q_start, k_start, qoff_ref, koff_ref, *, causal, valid_len,
+              seg_q, seg_k, lk_actual, block_q, block_k):
+    """(block_q, block_k) bool mask from global positions."""
+    cidx = k_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    mask = cidx < lk_actual
+    col_pos = _pos_of(cidx, koff_ref, seg_k)
+    if valid_len is not None:
+        mask = jnp.logical_and(mask, col_pos < valid_len)
+    if causal:
+        ridx = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        row_pos = _pos_of(ridx, qoff_ref, seg_q)
+        mask = jnp.logical_and(mask, col_pos <= row_pos)
+    return mask
+
+
+def _pos_run(q_start, k_start, qoff_ref, koff_ref, *, causal, valid_len,
+             seg_q, seg_k, lq_actual, lk_actual, block_q, block_k):
+    """Scalar: does this (q block, k block) pair have any unmasked entry?"""
+    run = k_start < lk_actual
+    min_cp, _ = _pos_bounds(k_start, block_k, koff_ref, seg_k, lk_actual)
+    if valid_len is not None:
+        run = jnp.logical_and(run, min_cp < valid_len)
+    if causal:
+        _, max_rp = _pos_bounds(q_start, block_q, qoff_ref, seg_q, lq_actual)
+        run = jnp.logical_and(run, min_cp <= max_rp)
+    return run
+
+
+def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
+                    acc_ref, m_ref, l_ref,
+                    *, scale, causal, valid_len, seg_q, seg_k,
+                    lq_actual, lk_actual, block_q, block_k, n_k, d):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = _pos_run(q_start, k_start, qoff_ref, koff_ref, causal=causal,
+                   valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
+                   lq_actual=lq_actual, lk_actual=lk_actual,
+                   block_q=block_q, block_k=block_k)
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    @pl.when(run)
+    def _compute():
+        s = jax.lax.dot_general(
+            _ld(q_ref, block_q, d), _ld(k_ref, block_k, d),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref, causal=causal,
+                         valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
+                         lk_actual=lk_actual, block_q=block_q,
+                         block_k=block_k)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+            l_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), _ld(v_ref, block_k, d),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        _st(o_ref, acc_ref[:] / safe_l)
+        # fully-masked rows keep m = NEG_INF -> lse = NEG_INF + log 1, which
+        # the ring's log-sum-exp merge treats as "no contribution".
+        _st(lse_ref, jnp.broadcast_to(m_ref[:, :1] + jnp.log(safe_l),
+                                      (block_q, 128)))
+
+
+def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
+                        scale=None, seg_q=None, seg_k=None, valid_len=None,
+                        block_q: int = 1024, block_k: int = 1024,
+                        interpret=False):
+    """Flash attention with global-position masking: returns (out, lse).
+
+    q (B,H,Lq,D), k/v (B,H,Lk,D) are LOCAL blocks of a longer sequence;
+    ``q_offsets``/``kv_offsets`` are (2,) int32 global offsets of the two
+    contiguous segments each block is made of (segment boundary at
+    ``seg_q``/``seg_k`` local index; pass seg = L for one contiguous span).
+    Masks: keys with global position >= ``valid_len`` (if given), and
+    key_pos > query_pos when ``causal``.  lse is fp32 (B,H,Lq); fully-masked
+    rows yield lse = -1e30 and a zero partial.  NOT differentiable — ring
+    attention drives the backward via flash_bwd_pos.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    seg_q = lq if seg_q is None else seg_q
+    seg_k = lk if seg_k is None else seg_k
+    block_q = min(block_q, _cdiv(lq, 128) * 128)
+    block_k = min(block_k, _cdiv(lk, 128) * 128)
+    qp = _pad_to(q.reshape(b * h, lq, d), 1, block_q)
+    kp = _pad_to(k.reshape(b * h, lk, d), 1, block_k)
+    vp = _pad_to(v.reshape(b * h, lk, d), 1, block_k)
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
+    n_q, n_k = lq_p // block_q, lk_p // block_k
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_pos, scale=scale, causal=causal, valid_len=valid_len,
+            seg_q=seg_q, seg_k=seg_k, lq_actual=lq, lk_actual=lk,
+            block_q=block_q, block_k=block_k, n_k=n_k, d=d),
+        grid=(b * h, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, q_offsets.astype(jnp.int32), kv_offsets.astype(jnp.int32))
+    out = out[:, :lq].reshape(b, h, lq, d)
+    lse = lse[:, :lq, 0].reshape(b, h, lq)
+    return out, lse
+
+
+def _bwd_dq_kernel_pos(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                       qoff_ref, koff_ref, dq_ref, acc_ref,
+                       *, scale, causal, valid_len, seg_q, seg_k,
+                       lq_actual, lk_actual, block_q, block_k, n_k):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = _pos_run(q_start, k_start, qoff_ref, koff_ref, causal=causal,
+                   valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
+                   lq_actual=lq_actual, lk_actual=lk_actual,
+                   block_q=block_q, block_k=block_k)
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    @pl.when(run)
+    def _():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref, causal=causal,
+                         valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
+                         lk_actual=lk_actual, block_q=block_q,
+                         block_k=block_k)
+        # p is normalized by the GLOBAL lse (computed across all hops), so
+        # per-hop dq contributions just add up.
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
+        dp = jax.lax.dot_general(
+            g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ds = p * (dp - delta_ref[0])
+        acc_ref[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(ik == n_k - 1)
+    def _fin():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_pos(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                        qoff_ref, koff_ref, dk_ref, dv_ref, acc_dk, acc_dv,
+                        *, scale, causal, valid_len, seg_q, seg_k,
+                        lq_actual, lk_actual, block_q, block_k, n_q):
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        acc_dk[:] = jnp.zeros_like(acc_dk)
+        acc_dv[:] = jnp.zeros_like(acc_dv)
+
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = _pos_run(q_start, k_start, qoff_ref, koff_ref, causal=causal,
+                   valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
+                   lq_actual=lq_actual, lk_actual=lk_actual,
+                   block_q=block_q, block_k=block_k)
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    @pl.when(run)
+    def _():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref, causal=causal,
+                         valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
+                         lk_actual=lk_actual, block_q=block_q,
+                         block_k=block_k)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
+        acc_dv[:] += jax.lax.dot_general(
+            p.astype(g_ref.dtype), g_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dp = jax.lax.dot_general(
+            g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ds = p * (dp - delta_ref[0])
+        acc_dk[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(iq == n_q - 1)
+    def _fin():
+        dk_ref[0] = (acc_dk[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[:].astype(dv_ref.dtype)
+
+
+def flash_bwd_pos(q, k, v, g, lse, delta, q_offsets, kv_offsets, *,
+                  causal=False, scale=None, seg_q=None, seg_k=None,
+                  valid_len=None, block_q: int = 1024, block_k: int = 1024,
+                  interpret=False):
+    """One hop of the ring-attention backward: (dq, dk, dv) of this q block
+    against this (visiting) k/v block, under the GLOBAL softmax.
+
+    ``lse``: global log-sum-exp (B,H,Lq) fp32 from the merged forward;
+    ``delta``: sum(g·out) over D, (B,H,Lq) fp32 — both computed once per
+    device, reused for every hop.  Masking contract matches
+    :func:`flash_attention_pos`.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    seg_q = lq if seg_q is None else seg_q
+    seg_k = lk if seg_k is None else seg_k
+    block_q = min(block_q, _cdiv(lq, 128) * 128)
+    block_k = min(block_k, _cdiv(lk, 128) * 128)
+    qp = _pad_to(q.reshape(b * h, lq, d), 1, block_q)
+    kp = _pad_to(k.reshape(b * h, lk, d), 1, block_k)
+    vp = _pad_to(v.reshape(b * h, lk, d), 1, block_k)
+    gp = _pad_to(g.reshape(b * h, lq, d), 1, block_q)
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
+    n_q, n_k = lq_p // block_q, lk_p // block_k
+    # padded q rows get lse = +inf -> p = 0: they contribute nothing to dk/dv
+    lse_p = jnp.pad(lse.reshape(b * h, lq, 1),
+                    ((0, 0), (0, lq_p - lq), (0, 0)), constant_values=1e30)
+    delta_p = _pad_to(delta.reshape(b * h, lq, 1), 1, block_q)
+    qo = q_offsets.astype(jnp.int32)
+    ko = kv_offsets.astype(jnp.int32)
+
+    common = dict(scale=scale, causal=causal, valid_len=valid_len,
+                  seg_q=seg_q, seg_k=seg_k, lq_actual=lq, lk_actual=lk,
+                  block_q=block_q, block_k=block_k)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_pos, n_k=n_k, **common),
+        grid=(b * h, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, iq, ik: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_p, delta_p, qo, ko)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_pos, n_q=n_q, **common),
+        grid=(b * h, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lk_p, d), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_p, delta_p, qo, ko)
+
+    dq = dq[:, :lq].reshape(b, h, lq, d)
+    dk = dk[:, :lk].reshape(b, h, lk, d)
+    dv = dv[:, :lk].reshape(b, h, lk, d)
+    return dq, dk, dv

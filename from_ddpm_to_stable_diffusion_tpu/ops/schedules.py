@@ -94,7 +94,7 @@ def lms_coefficients(
                 if i == j:
                     continue
                 y *= (x - sigmas[t - j]) / (sigmas[t - i] - sigmas[t - j])
-            table[t, i] = np.trapz(y=y, x=x)
+            table[t, i] = np.trapezoid(y=y, x=x)
     return table
 
 

@@ -39,6 +39,15 @@ class SwitchFFN(nn.Module):
     scaled by its (softmax) router probability — tokens over capacity pass
     through as zeros (callers add the residual); ``aux_loss`` is the Switch
     load-balancing loss (mean fraction·prob product × E).
+
+    Sharding contract: routing and the dispatch einsum run OUTSIDE
+    shard_map, so ``x`` (and the dispatch tensor) must be replicated over
+    the ``expert`` axis — only the expert dim of the inbox tensor shards.
+    Combining with data parallelism on the SAME devices (x sharded on
+    batch over a mixed data×expert mesh) is supported because the batch
+    dims of x are unconstrained here: GSPMD shards the routing math on
+    ``data`` and reshards the (E, K, C) inboxes over ``expert``
+    (exercised by tests/test_expert.py::test_switch_ffn_data_expert_mesh).
     """
 
     num_experts: int

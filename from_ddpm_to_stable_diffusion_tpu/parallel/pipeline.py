@@ -9,9 +9,9 @@ pipeline: tick t runs stage s on microbatch (t − s), bubbles at the ends.
 
 Exact: output equals running the full stack sequentially (tested on the
 fake 8-device mesh). Expert parallelism (EP) has no counterpart in the
-reference's models (no MoE); when an MoE layer lands, its expert axis
-composes with this module's mesh the same way (shard experts over an
-``expert`` axis + all_to_all token routing) — see ``EP_SPEC`` below.
+reference's models (no MoE); ``parallel.expert.SwitchFFN`` provides the
+EP implementation (experts sharded over an ``expert`` axis), and its mesh
+axis composes with this module's ``stage`` axis.
 """
 
 from __future__ import annotations
@@ -25,16 +25,6 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 STAGE_AXIS = "stage"
-
-EP_SPEC = {
-    "axis": "expert",
-    "routing": "one-hot MXU dispatch/combine; expert resharding over ICI",
-    "weights": "per-expert leading dim sharded over the expert axis",
-    "status": "implemented: parallel.expert.SwitchFFN (top-1 Switch MoE, "
-              "capacity factor, EP via shard_map — no MoE exists in the "
-              "reference capability set; this completes the EP hook)",
-}
-
 
 def pipeline_apply(
     stage_fn: Callable,

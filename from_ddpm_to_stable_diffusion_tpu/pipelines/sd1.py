@@ -315,6 +315,12 @@ class SD1Generator:
         return self._get_step_for(batch, self.cfg, self.tables)
 
     def _get_step_for(self, batch: int, cfg, tables):
+        # INVARIANT: the jitted body closes over cfg + tables, so the key
+        # must determine both.  Today it does: the generator's cfg is fixed
+        # at construction and tables are fully derived from (cfg,
+        # start_step).  If a per-call cfg field is ever added, fold it (or
+        # a hash of the baked tables) into this key, or a stale executable
+        # will silently alias.
         key = (batch, tables["start_step"])
         if key not in self._step_cache:
             def body(unet_params, carry):

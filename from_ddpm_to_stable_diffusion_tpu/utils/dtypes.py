@@ -52,7 +52,13 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16, min_ndim: int = 2):
     costs a per-step copy+convert chain (~0.25 ms/step of f32[1280]-style
     DMA pairs in the SD1 UNet, measured). Norm-layer params (path matches
     norm/ln) stay fp32 — they feed fp32 statistics directly, so casting
-    THEM would change numerics.
+    THEM would change numerics (tests/test_dtypes.py walks every real
+    model tree asserting the convention holds).
+
+    DONATES ``params``: the input tree is consumed (XLA frees each fp32
+    buffer as its low-precision copy is written — halves peak HBM during
+    the cast).  Callers must not reuse the argument afterwards; pass a
+    copy if the fp32 tree is still needed.
     """
     import jax
 

@@ -74,3 +74,19 @@ def test_switch_ffn_grads_flow():
     norms = [float(jnp.linalg.norm(g))
              for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(norms)) and max(norms) > 0
+
+
+def test_switch_ffn_data_expert_mesh(devices8):
+    """x sharded on batch over a mixed data×expert mesh must be exact:
+    routing/dispatch run outside shard_map (GSPMD shards them on ``data``
+    and reshards the expert inboxes over ``expert``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, params, x = _init(e=4, b=4, l=16)
+    ref, _ = model.apply({"params": params}, x)
+    mesh = build_mesh({"data": 2, "expert": 4}, devices8)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    got, _ = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, mesh=mesh))(params, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -30,7 +30,7 @@ def _python_k_lms(x, sigmas, timesteps, scales, order=4):
                 if i == j:
                     continue
                 y *= (xs - sigmas[t - j]) / (sigmas[t - i] - sigmas[t - j])
-            x = x + np.trapz(y, xs) * o
+            x = x + np.trapezoid(y, xs) * o
     return x
 
 

@@ -43,7 +43,7 @@ def test_input_scale():
 
 
 def test_lms_coefficients_match_per_step_oracle():
-    """Table must reproduce the reference's per-step trapz-of-Lagrange math."""
+    """Table must reproduce the reference's per-step trapezoid-of-Lagrange math."""
     sigmas, _ = schedules.karras_sigma_schedule(10)
     order = 4
     table = schedules.lms_coefficients(sigmas, order=order)
@@ -58,7 +58,7 @@ def test_lms_coefficients_match_per_step_oracle():
                     continue
                 y *= x - sigmas[t - j]
                 y /= sigmas[t - i] - sigmas[t - j]
-            want = np.trapz(y=y, x=x)
+            want = np.trapezoid(y=y, x=x)
             np.testing.assert_allclose(table[t, i], want, rtol=1e-12)
         # unfilled history slots must be exactly zero
         assert np.all(table[t, m:] == 0.0)

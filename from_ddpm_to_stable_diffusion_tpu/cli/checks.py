@@ -132,6 +132,40 @@ def check_clip():
     print(f"SigLIP vision: {img.shape} -> {sig.apply(sp, img).shape}")
 
 
+def check_clip_pretrained(ckpt: str, image_path: str, vocab_dir: str,
+                          prompts=None):
+    """The reference's stage-05 check with real weights
+    (05_clip/01_check.py:8-27): pretrained ViT-L/14 on an image, softmax
+    probabilities over candidate captions."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..io.tokenizer import CLIPTokenizer
+    from ..io.weights_clip import import_openai_clip
+    from ..models.clip import CLIP
+    from ..ops.image import clip_preprocess
+
+    prompts = prompts or ["a cat", "a dog", "a wild animal"]
+    params, cfg = import_openai_clip(ckpt)
+    model = CLIP(**cfg)
+    tokenizer = CLIPTokenizer.from_files(
+        os.path.join(vocab_dir, "vocab.json"),
+        os.path.join(vocab_dir, "merges.txt"))
+    image = jnp.asarray(clip_preprocess(Image.open(image_path),
+                                        cfg["image_resolution"]))
+    text = jnp.asarray(tokenizer.encode_batch(prompts), jnp.int32)
+    text = text[:, :cfg["context_length"]]
+    logits, _ = jax.jit(lambda p, i, t: model.apply({"params": p}, i, t))(
+        jax.tree_util.tree_map(jnp.asarray, params), image, text)
+    probs = jax.nn.softmax(logits, axis=-1)[0]
+    for prompt, prob in zip(prompts, probs):
+        print(f"  {prompt!r}: {float(prob):.4f}")
+    return probs
+
+
 def check_weights(path: str):
     """Dump tensor names/shapes/dtypes of a checkpoint file — the
     reference's check_tensor() (01_.../01_check.py:100-108)."""
@@ -153,11 +187,23 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="checks")
     ap.add_argument("stage", choices=sorted(CHECKS) + ["all", "weights"])
     ap.add_argument("path", nargs="?", help="checkpoint path (weights mode)")
+    ap.add_argument("--ckpt", help="pretrained OpenAI-CLIP checkpoint: "
+                    "run the stage-05 real-weights check (clip stage only)")
+    ap.add_argument("--image", help="image for the pretrained CLIP check")
+    ap.add_argument("--vocab-dir", help="dir with vocab.json + merges.txt")
+    ap.add_argument("--prompt", action="append",
+                    help="candidate captions (repeatable)")
     args = ap.parse_args(argv)
     if args.stage == "weights":
         if not args.path:
             ap.error("weights mode needs a checkpoint path")
         check_weights(args.path)
+        return 0
+    if args.stage == "clip" and args.ckpt:
+        if not (args.image and args.vocab_dir):
+            ap.error("--ckpt needs --image and --vocab-dir")
+        check_clip_pretrained(args.ckpt, args.image, args.vocab_dir,
+                              args.prompt)
         return 0
     stages = sorted(CHECKS) if args.stage == "all" else [args.stage]
     for s in stages:

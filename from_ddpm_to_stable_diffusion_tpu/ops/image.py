@@ -62,3 +62,33 @@ def image_grid(images, nrow: int):
         r, col = divmod(idx, ncol)
         grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = images[idx]
     return grid
+
+
+# OpenAI-CLIP inference preprocessing constants (the pip `clip` package's
+# `preprocess` transform the reference's stage-05 check relies on,
+# 05_clip/01_check.py:10).
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def clip_preprocess(pil_image, resolution: int = 224):
+    """PIL image -> (1, R, R, 3) float32, CLIP-normalized.
+
+    Bicubic resize of the short side to ``resolution``, center crop, then
+    per-channel normalization — matching pip clip's Compose(Resize,
+    CenterCrop, ToTensor, Normalize) inference transform.
+    """
+    import numpy as np
+    from PIL import Image
+
+    img = pil_image.convert("RGB")
+    w, h = img.size
+    scale = resolution / min(w, h)
+    img = img.resize((round(w * scale), round(h * scale)),
+                     Image.Resampling.BICUBIC)
+    w, h = img.size
+    left, top = (w - resolution) // 2, (h - resolution) // 2
+    img = img.crop((left, top, left + resolution, top + resolution))
+    x = np.asarray(img, dtype=np.float32) / 255.0
+    x = (x - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
+    return x[None].astype(np.float32)

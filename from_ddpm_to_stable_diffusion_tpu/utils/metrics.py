@@ -6,6 +6,12 @@ offline, the framework's own CLIP vision tower serves as the featurizer
 (CLIP-FID — a standard variant) through the same Fréchet machinery, and the
 InceptionV3 features can be dropped in when weights are available: the
 statistics/distance math below is featurizer-agnostic.
+
+With a pretrained ViT-L/14 checkpoint, ``io.weights_clip.
+import_openai_clip`` supplies (params, cfg) for the REAL CLIP-score /
+CLIP-FID: build ``models.clip.CLIP(**cfg)``, preprocess images with
+``ops.image.clip_preprocess``, tokenize with the SD1 ``CLIPTokenizer``
+(same BPE vocab), and pass both to :func:`clip_score` / :func:`clip_fid`.
 """
 
 from __future__ import annotations

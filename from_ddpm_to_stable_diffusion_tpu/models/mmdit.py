@@ -296,3 +296,72 @@ class MMDiT(nn.Module):
         xe = jnp.einsum("nhwpqc->nhpwqc", xe)
         return xe.reshape(b, hp * p, wp * p,
                           cfg.in_channels).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Pipeline parallelism over the joint-block stack
+# --------------------------------------------------------------------------
+# The reference flags the JointBlock as its would-be FSDP/PP unit
+# (02_stable_diffusion-3/mmdit.py:375); here the homogeneous prefix of the
+# stack (blocks 0..depth-2 — the last block is pre_only and structurally
+# different) is stage-partitioned over a `stage` mesh axis and driven by
+# parallel.pipeline's GPipe/1F1B schedules.  (context, x, c) pack into one
+# (B, Lc+Lx+1, hidden) array so microbatches stream through ppermute
+# hand-offs as a single tensor.
+
+def stack_joint_block_params(params, n_blocks: int, n_stages: int):
+    """joint_block{0..n_blocks-1} param trees → leaves (n_stages, k, ...)."""
+    assert n_blocks % n_stages == 0, (n_blocks, n_stages)
+    k = n_blocks // n_stages
+    blocks = [params[f"joint_block{i}"] for i in range(n_blocks)]
+    stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *blocks)
+    return jax.tree_util.tree_map(
+        lambda p: p.reshape(n_stages, k, *p.shape[1:]), stacked)
+
+
+def make_joint_block_stage_fn(cfg: MMDiTConfig, lc: int, k: int,
+                              dtype=jnp.float32):
+    """stage_fn(params_k, z) applying k consecutive JointBlocks.
+
+    z: (B, Lc+Lx+1, hidden) = [context | x | c-token]; params_k leaves
+    have leading dim k (this stage's blocks).
+    """
+    blk = JointBlock(cfg.hidden_size, cfg.depth, cfg.mlp_ratio,
+                     cfg.qkv_bias, context_pre_only=False,
+                     qk_norm=cfg.qk_norm, dtype=dtype)
+
+    def stage_fn(params_k, z):
+        context, x, c = z[:, :lc], z[:, lc:-1], z[:, -1]
+        for j in range(k):
+            pj = jax.tree_util.tree_map(lambda p: p[j], params_k)
+            context, x = blk.apply({"params": pj}, context, x, c)
+        return jnp.concatenate([context, x, c[:, None]], axis=1)
+
+    return stage_fn
+
+
+def pipelined_joint_blocks(cfg: MMDiTConfig, params, context, x, c, mesh,
+                           n_microbatches: int, axis: str = "stage",
+                           n_blocks: Optional[int] = None,
+                           dtype=jnp.float32):
+    """Run the homogeneous joint blocks pipelined over ``axis`` of ``mesh``.
+
+    context: (B, Lc, hidden) EMBEDDED context (post context_embedder);
+    x: (B, Lx, hidden) patchified tokens; c: (B, hidden) conditioning.
+    Covers blocks 0..n_blocks-1 (default depth-1 — every block except the
+    pre_only last); apply that block and the final layer after this.
+    Exact vs the sequential stack (tests/test_pipeline.py).  Composes with
+    TP: mesh axes beyond ``axis`` are left to GSPMD, so TP-sharded block
+    weights keep their head/MLP sharding inside each stage.
+    """
+    from ..parallel.pipeline import pipeline_apply
+
+    n_blocks = cfg.depth - 1 if n_blocks is None else n_blocks
+    n_stages = mesh.shape[axis]
+    sp = stack_joint_block_params(params, n_blocks, n_stages)
+    lc = context.shape[1]
+    z = jnp.concatenate([context, x, c[:, None]], axis=1)
+    stage_fn = make_joint_block_stage_fn(cfg, lc, n_blocks // n_stages,
+                                         dtype)
+    z = pipeline_apply(stage_fn, sp, z, mesh, n_microbatches, axis=axis)
+    return z[:, :lc], z[:, lc:-1]

@@ -49,10 +49,13 @@ def pipeline_apply(
     stage_spec = jax.tree_util.tree_map(
         lambda _: P(axis), stage_params)
 
+    # manual only over the stage axis: any further mesh axes (e.g. a TP
+    # 'model' axis) stay under GSPMD, so TP-sharded stage weights keep
+    # their head/MLP sharding inside each stage
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(stage_spec, P()),
-        out_specs=P())
+        out_specs=P(), axis_names={axis})
     def run(params_local, micro_all):
         # params_local leaves: (1, ...) — this stage's slice
         params_here = jax.tree_util.tree_map(lambda p: p[0], params_local)
@@ -184,7 +187,7 @@ def pipeline_value_and_grad(
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(stage_spec, P(), P()),
-        out_specs=(P(), stage_spec))
+        out_specs=(P(), stage_spec), axis_names={axis})
     def run(params_local, micro_all, tgt_all):
         params_here = jax.tree_util.tree_map(lambda p: p[0], params_local)
         sid = jax.lax.axis_index(axis)

@@ -109,3 +109,160 @@ def test_pipeline_rejects_bad_microbatching(devices8):
     x = jnp.zeros((6, 8))
     with pytest.raises(AssertionError):
         pipeline_apply(_stage_fn, params, x, mesh, n_microbatches=4)
+
+
+# --------------------------------------------------------------------------
+# Real-model pipeline: MMDiT joint blocks over the stage axis
+# --------------------------------------------------------------------------
+def _mmdit_setup(depth=5, seed=0):
+    """Small MMDiT + embedded (context, x, c) inputs at batch 8."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+
+    cfg = MMDiTConfig(depth=depth, pos_embed_max_size=8)
+    model = MMDiT(cfg)
+    b, hs = 8, cfg.hidden_size
+    rng = np.random.default_rng(seed)
+    x_img = jnp.asarray(rng.standard_normal((b, 8, 8, 16)) * 0.3,
+                        jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1000, (b,)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, 2048)) * 0.3, jnp.float32)
+    ctx_raw = jnp.asarray(rng.standard_normal((b, 20, 4096)) * 0.3,
+                          jnp.float32)
+    params = model.init(jax.random.key(seed), x_img, t, y, ctx_raw)["params"]
+    # embedded inputs to the block stack (what MMDiT.__call__ computes
+    # before the joint blocks)
+    context = jnp.asarray(
+        rng.standard_normal((b, 20, hs)) * 0.3, jnp.float32)
+    xe = jnp.asarray(rng.standard_normal((b, 16, hs)) * 0.3, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((b, hs)) * 0.3, jnp.float32)
+    return cfg, params, context, xe, c
+
+
+def _sequential_blocks(cfg, params, context, x, c, n_blocks):
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import JointBlock
+
+    blk = JointBlock(cfg.hidden_size, cfg.depth, cfg.mlp_ratio,
+                     cfg.qkv_bias, context_pre_only=False,
+                     qk_norm=cfg.qk_norm)
+    for i in range(n_blocks):
+        context, x = blk.apply({"params": params[f"joint_block{i}"]},
+                               context, x, c)
+    return context, x
+
+
+@pytest.mark.slow
+def test_mmdit_pipelined_blocks_match_sequential(devices8):
+    """4 real JointBlocks over 4 pipeline stages ≡ the sequential stack."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        pipelined_joint_blocks)
+
+    cfg, params, context, xe, c = _mmdit_setup(depth=5)
+    mesh = build_mesh({"stage": 4}, devices8[:4])
+    got_ctx, got_x = pipelined_joint_blocks(cfg, params, context, xe, c,
+                                            mesh, n_microbatches=4)
+    want_ctx, want_x = _sequential_blocks(cfg, params, context, xe, c, 4)
+    np.testing.assert_allclose(np.asarray(got_ctx), np.asarray(want_ctx),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               atol=2e-4)
+
+
+@pytest.mark.slow
+def test_mmdit_pipelined_blocks_multiple_per_stage(devices8):
+    """2 stages × 2 blocks each (k=2 grouping)."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        pipelined_joint_blocks)
+
+    cfg, params, context, xe, c = _mmdit_setup(depth=5, seed=3)
+    mesh = build_mesh({"stage": 2}, devices8[:2])
+    got_ctx, got_x = pipelined_joint_blocks(cfg, params, context, xe, c,
+                                            mesh, n_microbatches=4)
+    want_ctx, want_x = _sequential_blocks(cfg, params, context, xe, c, 4)
+    np.testing.assert_allclose(np.asarray(got_ctx), np.asarray(want_ctx),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               atol=2e-4)
+
+
+@pytest.mark.slow
+def test_mmdit_pipelined_1f1b_grads(devices8):
+    """1F1B training step through 2 real JointBlock stages: loss + stacked
+    grads ≡ sequential autodiff."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        make_joint_block_stage_fn, stack_joint_block_params)
+    from from_ddpm_to_stable_diffusion_tpu.parallel.pipeline import (
+        pipeline_value_and_grad)
+
+    cfg, params, context, xe, c = _mmdit_setup(depth=3, seed=5)
+    n_blocks, n_stages, n_micro = 2, 2, 4
+    mesh = build_mesh({"stage": n_stages}, devices8[:n_stages])
+    lc = context.shape[1]
+    z = jnp.concatenate([context, xe, c[:, None]], axis=1)
+    targets = jnp.asarray(
+        np.random.default_rng(6).standard_normal(z.shape) * 0.3, jnp.float32)
+    stage_fn = make_joint_block_stage_fn(cfg, lc, k=1)
+    sp = stack_joint_block_params(params, n_blocks, n_stages)
+
+    loss, grads = pipeline_value_and_grad(
+        stage_fn, sp, z, targets, _loss_fn, mesh, n_micro)
+
+    # sequential oracle over the same stacked params
+    def seq_loss(sp):
+        out = z
+        for s in range(n_stages):
+            ps = jax.tree_util.tree_map(lambda p: p[s], sp)
+            out = stage_fn(ps, out)
+        return _loss_fn(out, targets)
+
+    want_loss, want_grads = jax.value_and_grad(seq_loss)(sp)
+    np.testing.assert_allclose(float(loss), float(want_loss), atol=1e-5)
+    for g, w in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(want_grads)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_mmdit_pipeline_composes_with_tp(devices8):
+    """stage×model mesh: PP over stages with TP-sharded block weights
+    inside each stage (GSPMD handles the model axis) stays exact."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        stack_joint_block_params)
+    from from_ddpm_to_stable_diffusion_tpu.parallel.sharding import (
+        tp_spec_for_path)
+
+    cfg, params, context, xe, c = _mmdit_setup(depth=5, seed=7)
+    mesh = build_mesh({"stage": 2, "model": 2}, devices8[:4])
+
+    # shard each block's TP-eligible kernels on the model axis (specs get a
+    # leading (stage, k) pair of None dims from the stacking)
+    def shard_stacked(path, p):
+        names = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = tp_spec_for_path(names)
+        full = P("stage", None, *spec)
+        try:
+            return jax.device_put(p, NamedSharding(mesh, full))
+        except ValueError:
+            return jax.device_put(p, NamedSharding(mesh, P("stage")))
+
+    sp = stack_joint_block_params(params, 4, 2)
+    sp = jax.tree_util.tree_map_with_path(shard_stacked, sp)
+    # run through the public helper but with pre-sharded stacked params:
+    # re-stack inside would drop the shardings, so drive pipeline_apply
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        make_joint_block_stage_fn)
+    from from_ddpm_to_stable_diffusion_tpu.parallel.pipeline import (
+        pipeline_apply)
+
+    lc = context.shape[1]
+    z = jnp.concatenate([context, xe, c[:, None]], axis=1)
+    stage_fn = make_joint_block_stage_fn(cfg, lc, k=2)
+    out = pipeline_apply(stage_fn, sp, z, mesh, n_microbatches=4)
+    got_ctx, got_x = out[:, :lc], out[:, lc:-1]
+    want_ctx, want_x = _sequential_blocks(cfg, params, context, xe, c, 4)
+    np.testing.assert_allclose(np.asarray(got_ctx), np.asarray(want_ctx),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               atol=2e-4)

@@ -8,14 +8,18 @@ spatial self-attention (4096 tokens at 64²), MMDiT joint attention
 relative-position bias.
 
 Layout: q (B, H, Lq, D), k/v (B, H, Lk, D); optional additive ``bias``
-broadcastable to (B, H, Lq, Lk). Logits/softmax accumulate in fp32; inputs
-may be bf16. Sequence lengths are padded to block multiples in the wrapper;
-padded keys are masked inside the kernel by global column index.
+broadcastable to (B, H, Lq, Lk); optional ``segment_ids`` (q_ids (B, Lq),
+kv_ids (B, Lk)) masking attention to same-segment pairs (packed sequences;
+per-example ragged lengths via a pad id no real token uses). Logits/softmax
+accumulate in fp32; inputs may be bf16. Sequence lengths are padded to
+block multiples in the wrapper; padded keys are masked inside the kernel by
+global column index.
 
 Backward: forward saves only (out, lse) — the flash residual contract —
 then two recompute-based Pallas kernels produce dq (key-block inner loop)
-and dk/dv (query-block inner loop); the bias path falls back to an
-XLA-scanned recompute that also yields dbias.
+and dk/dv (query-block inner loop); with bias the dq kernel also emits
+dbias (= dlogits) tiles, reduced over broadcast dims in the wrapper.  The
+XLA-scanned recompute remains only as the non-TPU compiled fallback.
 """
 
 from __future__ import annotations
@@ -49,8 +53,16 @@ def _st(ref, val):
     ref[...] = val.reshape(ref.shape).astype(ref.dtype)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref,
+def _seg_mask(qseg_ref, kvseg_ref, block_q, block_k):
+    """(block_q, block_k) same-segment mask from the packed-sequence id
+    blocks: q ids (block_q, 1), kv ids (1, block_k) — jax flash layout."""
+    q_ids = qseg_ref[0]            # (block_q, 1)
+    kv_ids = kvseg_ref[0, :1, :]   # (1, block_k)
+    return jnp.broadcast_to(q_ids == kv_ids, (block_q, block_k))
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
+                o_ref, lse_ref, acc_ref, m_ref, l_ref,
                 *, scale, causal, lk_actual, block_q, block_k, n_k, d):
     iq = pl.program_id(q_ref.ndim - 2)      # grid (..., n_q, n_k)
     ik = pl.program_id(q_ref.ndim - 1)
@@ -92,6 +104,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             row = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             mask = jnp.logical_and(mask, col <= row)
+        if qseg_ref is not None:
+            mask = jnp.logical_and(
+                mask, _seg_mask(qseg_ref, kvseg_ref, block_q, block_k))
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -127,7 +142,30 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
+def _seg_inputs(segment_ids, b, h, lq, lk, block_q, block_k):
+    """Pack (q_ids (B,Lq), kv_ids (B,Lk)) into kernel-friendly layouts:
+    q → (B, Lq_p, 1), kv → (B, 8, Lk_p) (jax flash-attention layout; the
+    8-sublane broadcast makes the kv row-vector a legal VMEM tile).
+    Padding id −1 never matches a valid (≥0) segment id."""
+    q_ids, kv_ids = segment_ids
+    q_ids = jnp.pad(q_ids.astype(jnp.int32)[:, :, None],
+                    ((0, 0), (0, _cdiv(lq, block_q) * block_q - lq), (0, 0)),
+                    constant_values=-1)
+    kv_ids = jnp.pad(kv_ids.astype(jnp.int32),
+                     ((0, 0), (0, _cdiv(lk, block_k) * block_k - lk)),
+                     constant_values=-1)
+    kv_ids = jnp.broadcast_to(kv_ids[:, None, :],
+                              (b, 8, kv_ids.shape[1]))
+    specs = [
+        pl.BlockSpec((1, block_q, 1),
+                     lambda bh, iq, ik, h=h: (bh // h, iq, 0)),
+        pl.BlockSpec((1, 8, block_k),
+                     lambda bh, iq, ik, h=h: (bh // h, 0, ik)),
+    ]
+    return [q_ids, kv_ids], specs
+
+
+def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
                interpret=False):
     """Returns (out (B,H,Lq,D), lse (B,H,Lq) fp32).
 
@@ -143,6 +181,7 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
     has_bias = bias is not None
+    has_seg = segment_ids is not None
 
     qp = _pad_to(q.reshape(b * h, lq, d), 1, block_q)
     kp = _pad_to(k.reshape(b * h, lk, d), 1, block_k)
@@ -171,15 +210,23 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
         in_specs.append(pl.BlockSpec((1, block_q, block_k),
                                      lambda bh, iq, ik: (bh, iq, ik)))
         args.append(bias_b)
+    if has_seg:
+        seg_args, seg_specs = _seg_inputs(segment_ids, b, h, lq, lk,
+                                          block_q, block_k)
+        args += seg_args
+        in_specs += seg_specs
 
     body = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, lk_actual=lk,
         block_q=block_q, block_k=block_k, n_k=n_k, d=d)
-    if has_bias:
-        kernel = body
-    else:
-        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m, l):
-            body(q_ref, k_ref, v_ref, None, o_ref, lse_ref, acc, m, l)
+
+    def kernel(*refs):
+        in_refs = list(refs[:3 + has_bias + 2 * has_seg])
+        rest = refs[3 + has_bias + 2 * has_seg:]
+        qkv = in_refs[:3]
+        bias_r = in_refs[3] if has_bias else None
+        seg_rs = in_refs[3 + has_bias:] if has_seg else [None, None]
+        body(*qkv, bias_r, *seg_rs, *rest)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -199,27 +246,36 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k,
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def flash_attention(q, k, v, bias=None, causal: bool = False,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def flash_attention(q, k, v, bias=None, segment_ids=None,
+                    causal: bool = False,
                     scale: Optional[float] = None,
                     block_q: int = 1024, block_k: int = 1024,
                     interpret: bool = False):
-    """Flash attention over (B, H, L, D); returns (B, H, Lq, D)."""
-    out, _ = _flash_fwd(q, k, v, bias, causal,
+    """Flash attention over (B, H, L, D); returns (B, H, Lq, D).
+
+    ``segment_ids``: optional (q_ids (B, Lq), kv_ids (B, Lk)) int pair for
+    packed sequences — attention is masked to same-segment pairs, composing
+    with ``causal`` and ``bias``.  Per-example ragged lengths are the
+    special case "pad tokens get an id no real token uses".
+    """
+    out, _ = _flash_fwd(q, k, v, bias, segment_ids, causal,
                         q.shape[-1] ** -0.5 if scale is None else scale,
                         block_q, block_k, interpret)
     return out
 
 
-def _vjp_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
-    out, lse = _flash_fwd(q, k, v, bias, causal,
+def _vjp_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
+             interpret):
+    out, lse = _flash_fwd(q, k, v, bias, segment_ids, causal,
                           q.shape[-1] ** -0.5 if scale is None else scale,
                           block_q, block_k, interpret)
-    return out, (q, k, v, bias, out, lse)
+    return out, (q, k, v, bias, segment_ids, out, lse)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                   dq_ref, acc_ref,
+                   bias_ref, qseg_ref, kvseg_ref, dq_ref, dbias_ref,
+                   acc_ref,
                    *, scale, causal, lk_actual, block_q, block_k, n_k):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
@@ -241,6 +297,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
         col = k_start + jax.lax.broadcasted_iota(jnp.int32,
                                                  (block_q, block_k), 1)
         mask = col < lk_actual
@@ -248,6 +306,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             row = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             mask = jnp.logical_and(mask, col <= row)
+        if qseg_ref is not None:
+            mask = jnp.logical_and(
+                mask, _seg_mask(qseg_ref, kvseg_ref, block_q, block_k))
         lse = lse_ref[0]  # (block_q, 1)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
@@ -255,9 +316,18 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32, precision=prec)
         delta = delta_ref[0]  # (block_q, 1)
         ds = p * (dp - delta)
+        if dbias_ref is not None:
+            # dlogits = ds; bias adds to logits unscaled -> dbias = ds
+            dbias_ref[0] = ds.astype(dbias_ref.dtype)
         acc_ref[:] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
+
+    if dbias_ref is not None:
+        # every (iq, ik) tile is written exactly once — zero skipped ones
+        @pl.when(jnp.logical_not(run))
+        def _zero_skipped_dbias():
+            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
 
     @pl.when(ik == n_k - 1)
     def _fin():
@@ -265,7 +335,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, acc_dk, acc_dv,
+                    bias_ref, qseg_ref, kvseg_ref, dk_ref, dv_ref,
+                    acc_dk, acc_dv,
                     *, scale, causal, block_q, block_k, n_q):
     ik = pl.program_id(1)
     iq = pl.program_id(2)
@@ -287,6 +358,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
         # padded q rows carry lse=+inf -> p=0; padded k cols are sliced off
         lse = lse_ref[0]  # (block_q, 1)
         p = jnp.exp(s - lse)
@@ -296,6 +369,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             col = k_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             p = jnp.where(col <= row, p, 0.0)
+        if qseg_ref is not None:
+            p = jnp.where(_seg_mask(qseg_ref, kvseg_ref, block_q, block_k),
+                          p, 0.0)
         acc_dv[:] += jax.lax.dot_general(
             p.astype(g_ref.dtype), g_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
@@ -314,13 +390,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dv_ref[0] = acc_dv[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd_pallas(q, k, v, out, lse, g, causal, scale, block_q, block_k,
-                      interpret):
-    """Pallas two-kernel flash backward (no-bias path)."""
+def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
+                      scale, block_q, block_k, interpret):
+    """Pallas two-kernel flash backward; with ``bias`` the dq kernel also
+    emits dbias tiles (dlogits), reduced over broadcast dims here."""
     b, h, lq, d_orig = q.shape
     lk = k.shape[2]
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
+    has_bias = bias is not None
+    has_seg = segment_ids is not None
     # unpadded head_dim in HBM (see _flash_fwd)
     qp = _pad_to(q.reshape(b * h, lq, d_orig), 1, block_q)
     kp = _pad_to(k.reshape(b * h, lk, d_orig), 1, block_k)
@@ -337,10 +416,56 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, causal, scale, block_q, block_k,
                     constant_values=1e30)  # padded rows -> p = 0
     delta_p = _pad_to(delta, 1, block_q)
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
-                          lk_actual=lk, block_q=block_q, block_k=block_k,
-                          n_k=n_k),
+    extra_args = []
+    extra_dq_specs = []
+    extra_dkv_specs = []
+    if has_bias:
+        bias_b = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
+        bias_b = _pad_to(_pad_to(bias_b, 1, block_q), 2, block_k)
+        extra_args.append(bias_b)
+        extra_dq_specs.append(pl.BlockSpec(
+            (1, block_q, block_k), lambda bh, iq, ik: (bh, iq, ik)))
+        extra_dkv_specs.append(pl.BlockSpec(
+            (1, block_q, block_k), lambda bh, ik, iq: (bh, iq, ik)))
+    if has_seg:
+        seg_args, seg_specs_dq = _seg_inputs(segment_ids, b, h, lq, lk,
+                                             block_q, block_k)
+        extra_args += seg_args
+        extra_dq_specs += seg_specs_dq
+        extra_dkv_specs += [
+            pl.BlockSpec((1, block_q, 1),
+                         lambda bh, ik, iq, h=h: (bh // h, iq, 0)),
+            pl.BlockSpec((1, 8, block_k),
+                         lambda bh, ik, iq, h=h: (bh // h, 0, ik)),
+        ]
+
+    def wrap(body, n_in, dbias_slot):
+        """Map the packed pallas refs onto the kernel's explicit
+        (…, bias_ref, qseg, kvseg, outs…, scratch…) signature."""
+        def kernel(*refs):
+            ins = list(refs[:n_in + has_bias + 2 * has_seg])
+            rest = list(refs[n_in + has_bias + 2 * has_seg:])
+            base = ins[:n_in]
+            bias_r = ins[n_in] if has_bias else None
+            seg_rs = ins[n_in + has_bias:] if has_seg else [None, None]
+            if dbias_slot and not has_bias:
+                rest = [rest[0], None] + rest[1:]   # dq kernel, no dbias
+            body(*base, bias_r, *seg_rs, *rest)
+        return kernel
+
+    dq_out_specs = [pl.BlockSpec((1, block_q, d),
+                                 lambda bh, iq, ik: (bh, iq, 0))]
+    dq_out_shape = [jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype)]
+    if has_bias:
+        dq_out_specs.append(pl.BlockSpec(
+            (1, block_q, block_k), lambda bh, iq, ik: (bh, iq, ik)))
+        dq_out_shape.append(
+            jax.ShapeDtypeStruct((b * h, lq_p, lk_p), jnp.float32))
+
+    dq_res = pl.pallas_call(
+        wrap(functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                               lk_actual=lk, block_q=block_q,
+                               block_k=block_k, n_k=n_k), 6, True),
         grid=(b * h, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
@@ -349,17 +474,25 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, causal, scale, block_q, block_k,
             pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
             pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
             pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        ] + extra_dq_specs,
+        out_specs=dq_out_specs,
+        out_shape=dq_out_shape,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp, gp, lse_p, delta_p)
+    )(qp, kp, vp, gp, lse_p, delta_p, *extra_args)
+    dq = dq_res[0]
+    dbias = None
+    if has_bias:
+        db = dq_res[1][:, :lq, :lk].reshape(b, h, lq, lk)
+        for ax in range(2):
+            if bias.shape[ax] == 1:
+                db = db.sum(axis=ax, keepdims=True)
+        dbias = db.astype(bias.dtype)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k, n_q=n_q),
+        wrap(functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                               block_q=block_q, block_k=block_k, n_q=n_q),
+             6, False),
         grid=(b * h, n_k, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0)),
@@ -368,7 +501,7 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, causal, scale, block_q, block_k,
             pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0)),
             pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
             pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
-        ],
+        ] + extra_dkv_specs,
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
@@ -380,32 +513,33 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, causal, scale, block_q, block_k,
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp, gp, lse_p, delta_p)
+    )(qp, kp, vp, gp, lse_p, delta_p, *extra_args)
 
     dq = dq[:, :lq, :d_orig].reshape(b, h, lq, d_orig)
     dk = dk[:, :lk, :d_orig].reshape(b, h, lk, d_orig)
     dv = dv[:, :lk, :d_orig].reshape(b, h, lk, d_orig)
-    return dq, dk, dv
+    return dq, dk, dv, dbias
 
 
 def _vjp_bwd(causal, scale, block_q, block_k, interpret, res, g):
-    """Flash backward: Pallas two-kernel path (no bias), XLA-scanned
-    recompute fallback (bias / non-TPU)."""
-    q_, k_, v_, bias_, out_, lse_ = res
+    """Flash backward: Pallas two-kernel path (TPU / interpret) with
+    fused dbias + segment masking; XLA-scanned recompute off-TPU."""
+    q_, k_, v_, bias_, seg_, out_, lse_ = res
     if scale is None:
         scale_v = q_.shape[-1] ** -0.5
     else:
         scale_v = scale
-    if bias_ is None and (interpret or jax.default_backend() == "tpu"):
-        dq, dk, dv = _flash_bwd_pallas(q_, k_, v_, out_, lse_, g, causal,
-                                       scale_v, block_q, block_k, interpret)
-        return (dq, dk, dv, None)
+    if interpret or jax.default_backend() == "tpu":
+        dq, dk, dv, dbias = _flash_bwd_pallas(
+            q_, k_, v_, bias_, seg_, out_, lse_, g, causal, scale_v,
+            block_q, block_k, interpret)
+        return (dq, dk, dv, dbias, None)
     return _vjp_bwd_xla(causal, scale_v, block_q, block_k, res, g)
 
 
 def _vjp_bwd_xla(causal, scale, block_q, block_k, res, g):
     """Scanned recompute backward: per-step memory O(Lq·block_k)."""
-    q, k, v, bias, out, lse = res
+    q, k, v, bias, segment_ids, out, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, lq, d = q.shape
@@ -432,6 +566,10 @@ def _vjp_bwd_xla(causal, scale, block_q, block_k, res, g):
         bias_b = _pad_to(jnp.broadcast_to(bias, (b, h, lq, lk)), 3, bk)
 
     row = jnp.arange(lq)[:, None]
+    q_ids = kv_ids = None
+    if segment_ids is not None:
+        q_ids = segment_ids[0].astype(jnp.int32)            # (B, Lq)
+        kv_ids = _pad_to(segment_ids[1].astype(jnp.int32) + 1, 1, bk) - 1
 
     def body(dq, ik):
         ks = ik * bk
@@ -444,6 +582,11 @@ def _vjp_bwd_xla(causal, scale, block_q, block_k, res, g):
         mask = col < lk
         if causal:
             mask = jnp.logical_and(mask, col <= row)
+        if q_ids is not None:
+            kv_b = jax.lax.dynamic_slice_in_dim(kv_ids, ks, bk, axis=1)
+            mask = jnp.logical_and(
+                mask, (q_ids[:, None, :, None]
+                       == kv_b[:, None, None, :]))
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[..., None])          # fp32
         pc = p.astype(q.dtype)
@@ -468,7 +611,8 @@ def _vjp_bwd_xla(causal, scale, block_q, block_k, res, g):
             if bias.shape[ax] == 1:
                 db = db.sum(axis=ax, keepdims=True)
         dbias = db.astype(bias.dtype)
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias, None)
 
 
 flash_attention.defvjp(_vjp_fwd, _vjp_bwd)

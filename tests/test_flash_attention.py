@@ -94,3 +94,121 @@ def test_attention_blhd_wrapper():
         lambda q: _xla_attention(t(q), t(k), t(v), None, False,
                                  40**-0.5).sum())(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# Pallas dbias backward + segment-id (packing) masking
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("bias_shape", [(1, 2, 128, 128), (2, 2, 128, 128),
+                                        (1, 1, 128, 128)])
+def test_flash_bias_grads_pallas(bias_shape):
+    """The bias path backward is the Pallas kernel pair (no XLA fallback):
+    dq/dk/dv AND dbias must match autodiff of the dense oracle, including
+    sum-reduction over broadcast bias dims."""
+    q, k, v = (_rand((2, 2, 128, 64), s) for s in (20, 21, 22))
+    bias = _rand(bias_shape, 23) * 0.5
+    cot = _rand((2, 2, 128, 64), 24)
+
+    def f(q, k, v, bias):
+        return (flash_attention(q, k, v, bias=bias, block_q=128,
+                                block_k=128, interpret=INTERPRET)
+                * cot).sum()
+
+    def g(q, k, v, bias):
+        return (_xla_attention(q, k, v, bias, False, 64**-0.5) * cot).sum()
+
+    g1 = jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(g, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g1, g2):
+        assert a.shape == b_.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def _packed_case(seed=30, l=128, d=32):
+    """Two sequences (70 + 58 tokens) packed into one row."""
+    split = 70
+    q, k, v = (_rand((1, 2, l, d), seed + i) for i in range(3))
+    seg = jnp.concatenate([jnp.zeros(split, jnp.int32),
+                           jnp.ones(l - split, jnp.int32)])[None]
+    return q, k, v, seg, split
+
+
+def _seg_bias(seg_q, seg_kv):
+    """Additive-mask oracle for segment masking."""
+    same = seg_q[0][:, None] == seg_kv[0][None, :]
+    return jnp.where(same, 0.0, -1e30)[None, None]
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_segment_ids_match_unpacked(causal):
+    """Packed 2-sequence attention ≡ each sequence attended separately."""
+    q, k, v, seg, split = _packed_case()
+    got = flash_attention(q, k, v, segment_ids=(seg, seg), causal=causal,
+                          block_q=128, block_k=128, interpret=INTERPRET)
+    for sl in (slice(0, split), slice(split, None)):
+        want = _xla_attention(q[:, :, sl], k[:, :, sl], v[:, :, sl],
+                              None, causal, 32**-0.5)
+        np.testing.assert_allclose(np.asarray(got[:, :, sl]),
+                                   np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_segment_ids_grads():
+    q, k, v, seg, _ = _packed_case(seed=40)
+    cot = _rand(q.shape, 44)
+
+    def f(q, k, v):
+        return (flash_attention(q, k, v, segment_ids=(seg, seg),
+                                block_q=128, block_k=128,
+                                interpret=INTERPRET) * cot).sum()
+
+    def g(q, k, v):
+        return (_xla_attention(q, k, v, _seg_bias(seg, seg), False,
+                               32**-0.5) * cot).sum()
+
+    g1 = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_flash_segment_ids_with_bias_and_grads():
+    """bias + segment ids compose; dbias is zero at cross-segment pairs."""
+    q, k, v, seg, split = _packed_case(seed=50)
+    bias = _rand((1, 2, 128, 128), 53) * 0.3
+
+    def f(q, k, v, bias):
+        return flash_attention(q, k, v, bias=bias, segment_ids=(seg, seg),
+                               block_q=128, block_k=128,
+                               interpret=INTERPRET).sum()
+
+    def g(q, k, v, bias):
+        return _xla_attention(q, k, v, bias + _seg_bias(seg, seg), False,
+                              32**-0.5).sum()
+
+    np.testing.assert_allclose(np.asarray(f(q, k, v, bias)),
+                               np.asarray(g(q, k, v, bias)), atol=2e-5)
+    g1 = jax.grad(f, argnums=(0, 3))(q, k, v, bias)
+    g2 = jax.grad(g, argnums=(0, 3))(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               atol=2e-4)
+    db = np.asarray(g1[1])
+    np.testing.assert_allclose(db, np.asarray(g2[1]), atol=2e-4)
+    assert (db[0, :, :split, split:] == 0).all()
+    assert (db[0, :, split:, :split] == 0).all()
+
+
+def test_flash_ragged_via_segment_ids():
+    """Per-example ragged lengths: pad tokens get id −1 (matches nothing
+    real); valid region ≡ unpadded attention."""
+    lens = [100, 77]
+    l, d = 128, 32
+    q, k, v = (_rand((2, 2, l, d), 60 + i) for i in range(3))
+    seg = jnp.stack([
+        jnp.where(jnp.arange(l) < n, 0, -1) for n in lens]).astype(jnp.int32)
+    got = flash_attention(q, k, v, segment_ids=(seg, seg),
+                          block_q=128, block_k=128, interpret=INTERPRET)
+    for i, n in enumerate(lens):
+        want = _xla_attention(q[i:i+1, :, :n], k[i:i+1, :, :n],
+                              v[i:i+1, :, :n], None, False, d**-0.5)
+        np.testing.assert_allclose(np.asarray(got[i:i+1, :, :n]),
+                                   np.asarray(want), atol=2e-5, rtol=1e-4)

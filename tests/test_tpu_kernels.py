@@ -1,0 +1,152 @@
+"""Real-TPU kernel tier: Mosaic lowering + compiled numerics on the chip.
+
+Run: ``FDSD_TEST_PLATFORM=axon python -m pytest tests -m tpu -q``
+
+The CPU suite exercises the Pallas kernels through the interpreter, which
+cannot catch Mosaic lowering regressions (e.g. the documented BLHD
+BlockSpec rejection).  This tier compiles the kernels for the actual chip:
+flash fwd/bwd (plain, bias+dbias, segment ids), the position-masked ring
+primitives, fused GroupNorm fwd, and a tiny-UNet train step (flash bwd +
+GN bwd inside a real grad program).  First run per session pays remote
+compiles (~2-4 min total); the persistent cache at /tmp/fdsd_tpu_cache
+makes reruns fast.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _rand(shape, seed, dtype=jnp.float32):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), dtype)
+
+
+def _fetch(x):
+    return np.asarray(x)  # host transfer = the only honest sync on axon
+
+
+def _xla_oracle(q, k, v, bias, causal, scale):
+    from from_ddpm_to_stable_diffusion_tpu.ops.attention import (
+        _xla_attention)
+
+    return _xla_attention(q, k, v, bias, causal, scale)
+
+
+def test_flash_fwd_compiles_and_matches():
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        flash_attention)
+
+    q, k, v = (_rand((2, 4, 512, 64), s) for s in (0, 1, 2))
+    got = _fetch(jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, block_q=256, block_k=256))(q, k, v))
+    want = _fetch(jax.jit(_xla_oracle, static_argnums=(4, 5))(
+        q, k, v, None, False, 64**-0.5))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_flash_bias_and_segment_grads_compile():
+    """bias + segment-id masking and the Pallas dbias backward must LOWER
+    and agree with the dense oracle on-chip."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        flash_attention)
+
+    l = 256
+    q, k, v = (_rand((1, 2, l, 64), s) for s in (3, 4, 5))
+    bias = _rand((1, 2, l, l), 6) * 0.3
+    seg = jnp.concatenate([jnp.zeros(l // 2, jnp.int32),
+                           jnp.ones(l - l // 2, jnp.int32)])[None]
+
+    def f(q, k, v, bias):
+        return flash_attention(q, k, v, bias=bias, segment_ids=(seg, seg),
+                               block_q=128, block_k=128).sum()
+
+    def g(q, k, v, bias):
+        same = (seg[0][:, None] == seg[0][None, :])
+        mask = jnp.where(same, 0.0, -1e30)[None, None]
+        return _xla_oracle(q, k, v, bias + mask, False, 64**-0.5).sum()
+
+    g1 = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    g2 = jax.jit(jax.grad(g, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(_fetch(a), _fetch(b), atol=3e-3)
+
+
+def test_flash_causal_grads_compile():
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        flash_attention)
+
+    q, k, v = (_rand((1, 2, 384, 64), s) for s in (7, 8, 9))
+    g1 = jax.jit(jax.grad(lambda q: flash_attention(
+        q, k, v, causal=True, block_q=128, block_k=128).sum()))(q)
+    g2 = jax.jit(jax.grad(lambda q: _xla_oracle(
+        q, k, v, None, True, 64**-0.5).sum()))(q)
+    np.testing.assert_allclose(_fetch(g1), _fetch(g2), atol=3e-3)
+
+
+def test_flash_pos_ring_primitives_compile():
+    """The ring per-hop primitives (position-masked fwd + bwd) on-chip:
+    one-device ring degenerates to plain flash — compare against it."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        flash_attention_pos, flash_bwd_pos)
+
+    b, h, l, d = 1, 2, 512, 64
+    q, k, v = (_rand((b, h, l, d), s) for s in (10, 11, 12))
+    zero_off = jnp.zeros(2, jnp.int32)
+    out, lse = jax.jit(lambda q, k, v: flash_attention_pos(
+        q, k, v, zero_off, zero_off, causal=True, block_q=256,
+        block_k=256))(q, k, v)
+    want = _fetch(jax.jit(_xla_oracle, static_argnums=(4, 5))(
+        q, k, v, None, True, d**-0.5))
+    np.testing.assert_allclose(_fetch(out), want, atol=2e-4, rtol=1e-3)
+    assert np.isfinite(_fetch(lse)).all()
+
+    g = _rand((b, h, l, d), 13)
+    delta = jnp.sum(g * out, axis=-1)
+    dq, dk, dv = jax.jit(lambda *a: flash_bwd_pos(
+        *a, zero_off, zero_off, causal=True, block_q=256, block_k=256))(
+            q, k, v, g, lse, delta)
+    want_dq = jax.jit(jax.grad(lambda q: (_xla_oracle(
+        q, k, v, None, True, d**-0.5) * g).sum()))(q)
+    np.testing.assert_allclose(_fetch(dq), _fetch(want_dq), atol=3e-3)
+
+
+def test_fused_groupnorm_compiles_and_matches():
+    from from_ddpm_to_stable_diffusion_tpu.ops.groupnorm import group_norm
+
+    x = _rand((8, 16, 16, 128), 14, jnp.bfloat16)
+    scale = _rand((128,), 15)
+    bias = _rand((128,), 16)
+    got = jax.jit(lambda x: group_norm(x, 32, scale, bias, act="silu",
+                                       use_pallas=True))(x)
+    want = jax.jit(lambda x: group_norm(x, 32, scale, bias, act="silu",
+                                        use_pallas=False))(
+        x.astype(jnp.float32))
+    np.testing.assert_allclose(_fetch(got).astype(np.float32),
+                               _fetch(want), atol=5e-2)
+
+
+def test_tiny_unet_train_steps_on_chip():
+    """A real grad program over the tiny UNet: flash bwd + fused-GN bwd
+    compiled together; loss finite across steps."""
+    from from_ddpm_to_stable_diffusion_tpu.io import (DataLoader,
+                                                      SyntheticImageDataset)
+    from from_ddpm_to_stable_diffusion_tpu.io.data import prefetch_to_device
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.ddpm_trainer import (
+        DDPMTrainer)
+    from from_ddpm_to_stable_diffusion_tpu.utils.config import TinySDConfig
+
+    cfg = TinySDConfig(epoch=1, batch_size=8, img_size=32, T=20, channel=64,
+                       dropout=0.0, dtype="bf16", warmup_epochs=1)
+    trainer = DDPMTrainer(cfg)
+    loader = DataLoader(SyntheticImageDataset(16, 32), 8)
+    state = trainer.create_state(len(loader))
+    rng = jax.random.key(0)
+    losses = []
+    for images, labels in prefetch_to_device(loader, trainer.mesh):
+        state, loss = trainer.train_step(state, images, labels, rng)
+        losses.append(float(loss))
+    assert losses and all(np.isfinite(losses)), losses

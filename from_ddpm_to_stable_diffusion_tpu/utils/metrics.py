@@ -91,3 +91,30 @@ def clip_score(images, token_ids, clip_model, params) -> float:
     img = img / jnp.linalg.norm(img.astype(jnp.float32), axis=1, keepdims=True)
     txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=1, keepdims=True)
     return float(100.0 * jnp.mean(jnp.sum(img * txt, axis=1)))
+
+
+def inception_features(images, params, batch_size: int = 32) -> np.ndarray:
+    """Canonical FID features: pool3 of the FID InceptionV3.
+
+    images: (N, H, W, 3) float in [0, 1] (any resolution — bilinear-resized
+    to 299² like pytorch-fid); params from
+    ``io.weights_inception.import_inception_fid``.
+    """
+    from ..models.inception import InceptionV3FID, resize_for_fid
+
+    model = InceptionV3FID()
+    apply = jax.jit(lambda p, x: model.apply({"params": p},
+                                             resize_for_fid(x)))
+    feats = []
+    for s in range(0, len(images), batch_size):
+        feats.append(np.asarray(apply(params,
+                                      jnp.asarray(images[s:s + batch_size]))))
+    return np.concatenate(feats)
+
+
+def inception_fid(images_a, images_b, params) -> float:
+    """Canonical FID (InceptionV3 pool3 Fréchet distance); images in
+    [0, 1].  CLIP-FID (:func:`clip_fid`) remains the weights-free
+    fallback."""
+    return fid_from_features(inception_features(images_a, params),
+                             inception_features(images_b, params))

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import sys
 
-STAGES = ("sd1", "sd3", "vae", "vit", "tiny_sd", "video", "demos", "checks")
+STAGES = ("sd1", "sd3", "vae", "vit", "tiny_sd", "video", "multimodal",
+          "demos", "checks")
 
 
 def main(argv=None):

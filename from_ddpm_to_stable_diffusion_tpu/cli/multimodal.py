@@ -1,0 +1,147 @@
+"""Stage-07⁺ CLI: train the TPU-native TinyVLM and chat with it.
+
+The reference's stage 07 is a gated MiniCPM-V library call
+(``cli.demos multimodal``); this is the from-scratch trainable
+counterpart: image + prompt → generated caption text.
+
+Examples:
+    python -m from_ddpm_to_stable_diffusion_tpu multimodal train \
+        --epochs 30 --out vlm_demo.png --ckpt-dir /tmp/vlm
+    python -m from_ddpm_to_stable_diffusion_tpu multimodal chat \
+        --ckpt-dir /tmp/vlm --image photo.png
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _build(args):
+    from ..io.shapes_dataset import VLM_VOCAB
+    from ..models.tiny_vlm import TinyVLM
+    from ..utils.dtypes import POLICIES
+
+    return TinyVLM(vocab_size=len(VLM_VOCAB), dim=args.dim,
+                   depth=args.depth,
+                   dtype=POLICIES[args.dtype].compute_dtype)
+
+
+def _restore(trainer, args):
+    from ..utils.checkpoint import CheckpointManager
+
+    state = trainer.create_state(args.img_size)
+    ckpt = CheckpointManager(args.ckpt_dir)
+    restored, _ = ckpt.restore(template=state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+    return restored
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="multimodal")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "chat", "eval"):
+        g = sub.add_parser(name)
+        g.add_argument("--img-size", type=int, default=64)
+        g.add_argument("--dim", type=int, default=128)
+        g.add_argument("--depth", type=int, default=4)
+        g.add_argument("--dtype", default="bf16")
+        g.add_argument("--ckpt-dir", default=None)
+        if name == "train":
+            g.add_argument("--epochs", type=int, default=30)
+            g.add_argument("--examples", type=int, default=1024)
+            g.add_argument("--batch-size", type=int, default=64)
+            g.add_argument("--lr", type=float, default=3e-4)
+            g.add_argument("--out", default="vlm_demo.png",
+                           help="demo grid: test images + captions")
+        if name == "chat":
+            g.add_argument("--image", required=True)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from ..io import CaptionedShapesDataset, DataLoader
+    from ..pipelines.vlm_trainer import VLMTrainer
+
+    model = _build(args)
+
+    if args.cmd == "train":
+        data = CaptionedShapesDataset(args.examples, args.img_size)
+        loader = DataLoader(data, args.batch_size)
+        steps = len(loader) * args.epochs
+        trainer = VLMTrainer(model, lr=args.lr, warmup_steps=steps // 10,
+                             total_steps=steps)
+        state = trainer.fit(loader, epochs=args.epochs,
+                            image_size=args.img_size,
+                            checkpoint_dir=args.ckpt_dir)
+        # held-out eval: a different seed than training data
+        test = CaptionedShapesDataset(64, args.img_size, seed=999)
+        acc = trainer.caption_accuracy(state, test, n=64)
+        print(f"held-out caption exact-match accuracy: {acc:.2%}")
+        _demo_grid(model, state, test, args.out)
+        return 0
+
+    if not args.ckpt_dir:
+        ap.error(f"{args.cmd} needs --ckpt-dir")
+    trainer = VLMTrainer(model)
+    state = _restore(trainer, args)
+
+    if args.cmd == "eval":
+        test = CaptionedShapesDataset(64, args.img_size, seed=999)
+        acc = trainer.caption_accuracy(state, test, n=64)
+        print(f"held-out caption exact-match accuracy: {acc:.2%}")
+        return 0
+
+    # chat: arbitrary image file → caption
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..models.tiny_vlm import greedy_decode
+
+    img = Image.open(args.image).convert("RGB").resize(
+        (args.img_size, args.img_size))
+    x = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)[None]
+    data = CaptionedShapesDataset(1, args.img_size)
+    ids = greedy_decode(model, state.params, x,
+                        max_len=model.max_text_len)
+    print(data.decode(np.asarray(ids)[0]))
+    return 0
+
+
+def _demo_grid(model, state, dataset, out_path, n: int = 9):
+    """README artifact: a grid of held-out images captioned by the model."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.tiny_vlm import greedy_decode
+
+    imgs, want = zip(*(dataset.load(i) for i in range(n)))
+    got = greedy_decode(model, state.params,
+                        jnp.asarray(np.stack(imgs)),
+                        max_len=model.max_text_len)
+    captions = [dataset.decode(g) for g in np.asarray(got)]
+    try:
+        from PIL import Image, ImageDraw
+
+        s = imgs[0].shape[0]
+        pad = 14
+        cols = 3
+        rows = (n + cols - 1) // cols
+        canvas = Image.new("RGB", (cols * s, rows * (s + pad)), "black")
+        draw = ImageDraw.Draw(canvas)
+        for i, (img, cap) in enumerate(zip(imgs, captions)):
+            r, c = divmod(i, cols)
+            tile = ((np.asarray(img) + 1.0) * 127.5).clip(0, 255).astype(
+                np.uint8)
+            canvas.paste(Image.fromarray(tile), (c * s, r * (s + pad)))
+            draw.text((c * s + 2, r * (s + pad) + s + 1), cap,
+                      fill="white")
+        canvas.save(out_path)
+        print(f"wrote {out_path}")
+    except ImportError:
+        for cap, w in zip(captions, want):
+            print(f"got: {cap!r}  want: {dataset.decode(w)!r}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -3,6 +3,7 @@
 from .data import (IMAGENET_MEANS, IMAGENET_STDS, DataLoader,
                    ImageFolderDataset, SyntheticImageDataset,
                    SyntheticVideoDataset, denormalize)
+from .shapes_dataset import CaptionedShapesDataset, ShapesDataset
 from .spm_tokenizer import (SD3Tokenizer, SentencePieceUnigram,
                             T5XXLTokenizer)
 from .tokenizer import CLIPTokenizer

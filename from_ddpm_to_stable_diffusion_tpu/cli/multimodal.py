@@ -56,6 +56,9 @@ def main(argv=None):
                            help="demo grid: test images + captions")
         if name == "chat":
             g.add_argument("--image", required=True)
+        if name == "eval":
+            g.add_argument("--out", default=None,
+                           help="also write the captioned demo grid here")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -90,6 +93,8 @@ def main(argv=None):
         test = CaptionedShapesDataset(64, args.img_size, seed=999)
         acc = trainer.caption_accuracy(state, test, n=64)
         print(f"held-out caption exact-match accuracy: {acc:.2%}")
+        if args.out:
+            _demo_grid(model, state, test, args.out)
         return 0
 
     # chat: arbitrary image file → caption
@@ -126,15 +131,17 @@ def _demo_grid(model, state, dataset, out_path, n: int = 9):
         s = imgs[0].shape[0]
         pad = 14
         cols = 3
+        cell = max(s + 8, 132)   # room for the longest caption text
         rows = (n + cols - 1) // cols
-        canvas = Image.new("RGB", (cols * s, rows * (s + pad)), "black")
+        canvas = Image.new("RGB", (cols * cell, rows * (s + pad)), "black")
         draw = ImageDraw.Draw(canvas)
         for i, (img, cap) in enumerate(zip(imgs, captions)):
             r, c = divmod(i, cols)
             tile = ((np.asarray(img) + 1.0) * 127.5).clip(0, 255).astype(
                 np.uint8)
-            canvas.paste(Image.fromarray(tile), (c * s, r * (s + pad)))
-            draw.text((c * s + 2, r * (s + pad) + s + 1), cap,
+            canvas.paste(Image.fromarray(tile),
+                         (c * cell + (cell - s) // 2, r * (s + pad)))
+            draw.text((c * cell + 2, r * (s + pad) + s + 1), cap,
                       fill="white")
         canvas.save(out_path)
         print(f"wrote {out_path}")

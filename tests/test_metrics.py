@@ -59,3 +59,32 @@ def test_clip_fid_and_score_run():
     tokens = rng.integers(1, 31, (8, 8)).astype(np.int32)
     score = metrics.clip_score(a, tokens, model, params)
     assert -100.0 <= score <= 100.0
+
+
+@pytest.mark.slow
+def test_clip_score_orders_matched_above_shuffled():
+    """CLIP-score becomes a MEANINGFUL metric check: after memorizing a
+    small matched set contrastively, matched pairs must outscore a
+    shuffled pairing (the property FID/CLIP-score evaluation relies on)."""
+    import jax
+
+    from from_ddpm_to_stable_diffusion_tpu.models.clip import CLIP
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.clip_trainer import (
+        CLIPTrainer)
+    from from_ddpm_to_stable_diffusion_tpu.utils.metrics import clip_score
+
+    model = CLIP(embed_dim=16, image_resolution=16, vision_layers=1,
+                 vision_width=32, vision_patch_size=8, context_length=8,
+                 vocab_size=32, transformer_width=32, transformer_heads=4,
+                 transformer_layers=1)
+    trainer = CLIPTrainer(model, lr=3e-3)
+    state = trainer.create_state((16, 16, 3), 8)
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    tokens = rng.integers(1, 31, (8, 8)).astype(np.int32)
+    for _ in range(30):
+        state, _ = trainer.train_step(state, images, tokens)
+    params = jax.device_get(state.params)
+    matched = clip_score(images, tokens, model, params)
+    shuffled = clip_score(images, np.roll(tokens, 3, axis=0), model, params)
+    assert matched > shuffled + 5.0, (matched, shuffled)

@@ -212,3 +212,81 @@ def test_flash_ragged_via_segment_ids():
                               v[i:i+1, :, :n], None, False, d**-0.5)
         np.testing.assert_allclose(np.asarray(got[i:i+1, :, :n]),
                                    np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Position-masked ring-hop primitives (direct unit tests; ring integration
+# is covered in test_ring_attention.py, Mosaic lowering in the tpu tier)
+# --------------------------------------------------------------------------
+def _pos_oracle(q, k, v, q_pos, kv_pos, scale, causal, valid_len):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    mask = jnp.ones((q.shape[2], k.shape[2]), bool)
+    if valid_len is not None:
+        mask &= (kv_pos[None, :] < valid_len)
+    if causal:
+        mask &= (kv_pos[None, :] <= q_pos[:, None])
+    logits = jnp.where(mask[None, None], logits, -1e30)
+    m = jnp.max(logits, -1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, -1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p / jnp.where(l == 0, 1, l), v)
+    return out, (m + jnp.log(jnp.where(l == 0, 1, l)))[..., 0]
+
+
+@pytest.mark.parametrize("causal,valid_len", [(True, None), (False, 200),
+                                              (True, 200)])
+def test_flash_attention_pos_two_segments(causal, valid_len):
+    """Two-segment global offsets (the zig-zag chunk layout) must match an
+    explicit-position oracle, output AND lse."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        flash_attention_pos)
+
+    l, seg, d = 128, 64, 32
+    q, k, v = (_rand((1, 2, l, d), 70 + i) for i in range(3))
+    # local block = global chunks [256..320) and [448..512)
+    q_off = jnp.asarray([256, 448], jnp.int32)
+    kv_off = jnp.asarray([64, 384], jnp.int32)
+    pos_of = lambda off: jnp.concatenate(
+        [off[0] + jnp.arange(seg), off[1] + jnp.arange(seg)])
+    out, lse = flash_attention_pos(
+        q, k, v, q_off, kv_off, causal=causal, seg_q=seg, seg_k=seg,
+        valid_len=valid_len, block_q=128, block_k=128, interpret=INTERPRET)
+    want, want_lse = _pos_oracle(q, k, v, pos_of(q_off), pos_of(kv_off),
+                                 d**-0.5, causal, valid_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    rows = np.isfinite(np.asarray(want_lse)) & (np.asarray(want_lse) > -1e29)
+    np.testing.assert_allclose(np.asarray(lse)[rows],
+                               np.asarray(want_lse)[rows], atol=2e-5)
+
+
+def test_flash_bwd_pos_matches_autodiff_oracle():
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        flash_attention_pos, flash_bwd_pos)
+
+    l, seg, d = 128, 64, 32
+    q, k, v = (_rand((1, 2, l, d), 80 + i) for i in range(3))
+    g = _rand((1, 2, l, d), 83)
+    # kv covers the earliest positions so every causal q row sees >=1 key
+    # (fully-masked rows are a ring-merge concern, not a single-hop one —
+    # the dense softmax oracle diverges there by construction)
+    q_off = jnp.asarray([64, 128], jnp.int32)
+    kv_off = jnp.asarray([0, 192], jnp.int32)
+    pos_of = lambda off: jnp.concatenate(
+        [off[0] + jnp.arange(seg), off[1] + jnp.arange(seg)])
+    out, lse = flash_attention_pos(
+        q, k, v, q_off, kv_off, causal=True, seg_q=seg, seg_k=seg,
+        block_q=128, block_k=128, interpret=INTERPRET)
+    delta = jnp.sum(g * out, axis=-1)
+    dq, dk, dv = flash_bwd_pos(
+        q, k, v, g, lse, delta, q_off, kv_off, causal=True, seg_q=seg,
+        seg_k=seg, block_q=128, block_k=128, interpret=INTERPRET)
+
+    def f(q, k, v):
+        o, _ = _pos_oracle(q, k, v, pos_of(q_off), pos_of(kv_off),
+                           d**-0.5, True, None)
+        return (o * g).sum()
+
+    want = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip((dq, dk, dv), want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)

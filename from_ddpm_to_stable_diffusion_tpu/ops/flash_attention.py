@@ -132,6 +132,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
                                       (block_q, 128)))
 
 
+def _occupancy_block_q(block_q: int, lq: int) -> int:
+    """Halve a whole-sequence q block so the grid has ≥2 q programs.
+
+    Measured (v5e, tools/tune_flash.py): at (2, 8, 1024, 80) — the SD1
+    @32² shape — block_q 512 runs 0.97 ms vs 1.59 ms for a single
+    1024-row block: more grid steps pipeline the k/v DMA against compute.
+    Shapes with multiple q blocks already (e.g. 4096 @64²) are untouched.
+    """
+    if block_q >= lq and lq >= 512:
+        return _cdiv(block_q // 2, 128) * 128
+    return block_q
+
+
 def _pad_to(x, axis, mult):
     size = x.shape[axis]
     pad = _cdiv(size, mult) * mult - size
@@ -180,6 +193,7 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
     # remote-compile service; 1024 is the safe default everywhere.
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
+    block_q = _occupancy_block_q(block_q, lq)
     has_bias = bias is not None
     has_seg = segment_ids is not None
 
@@ -398,6 +412,7 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
     lk = k.shape[2]
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
+    block_q = _occupancy_block_q(block_q, lq)
     has_bias = bias is not None
     has_seg = segment_ids is not None
     # unpadded head_dim in HBM (see _flash_fwd)

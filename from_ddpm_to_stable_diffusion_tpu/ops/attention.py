@@ -58,8 +58,13 @@ def dot_product_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
+    segment_ids=None,
 ) -> jax.Array:
-    """Scaled dot-product attention over (B, H, L, D) tensors."""
+    """Scaled dot-product attention over (B, H, L, D) tensors.
+
+    ``segment_ids``: optional (q_ids (B, Lq), kv_ids (B, Lk)) packed-
+    sequence masking (same-segment pairs only; see flash_attention).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_flash is None:
@@ -67,7 +72,13 @@ def dot_product_attention(
     if use_flash:
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, bias=bias, causal=causal, scale=scale)
+        return flash_attention(q, k, v, bias=bias, segment_ids=segment_ids,
+                               causal=causal, scale=scale)
+    if segment_ids is not None:
+        same = (segment_ids[0][:, None, :, None]
+                == segment_ids[1][:, None, None, :])
+        seg_bias = jnp.where(same, 0.0, -1e30)
+        bias = seg_bias if bias is None else bias + seg_bias
     return _xla_attention(q, k, v, bias, causal, scale)
 
 

@@ -153,3 +153,23 @@ def test_image_grid():
     assert g.shape == (4, 6, 1)
     np.testing.assert_array_equal(g[0:2, 0:3], imgs[0])
     np.testing.assert_array_equal(g[2:4, 3:6], imgs[3])
+
+
+def test_dot_product_attention_segment_ids_cpu_fallback():
+    """The XLA (non-flash) path must honor segment_ids identically to the
+    additive-mask construction."""
+    import numpy as np
+
+    from from_ddpm_to_stable_diffusion_tpu.ops.attention import (
+        _xla_attention, dot_product_attention)
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 2, 16, 8)), jnp.float32)
+               for _ in range(3))
+    seg = jnp.asarray([[0] * 10 + [1] * 6], jnp.int32)
+    got = dot_product_attention(q, k, v, segment_ids=(seg, seg),
+                                use_flash=False)
+    same = (seg[0][:, None] == seg[0][None, :])
+    bias = jnp.where(same, 0.0, -1e30)[None, None]
+    want = _xla_attention(q, k, v, bias, False, 8**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

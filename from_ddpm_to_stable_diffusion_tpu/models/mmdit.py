@@ -365,3 +365,55 @@ def pipelined_joint_blocks(cfg: MMDiTConfig, params, context, x, c, mesh,
                                          dtype)
     z = pipeline_apply(stage_fn, sp, z, mesh, n_microbatches, axis=axis)
     return z[:, :lc], z[:, lc:-1]
+
+
+def mmdit_forward_pp(cfg: MMDiTConfig, params, x, t, y, context, mesh,
+                     n_microbatches: int, axis: str = "stage",
+                     dtype=jnp.float32):
+    """Full MMDiT forward with the joint-block stack PIPELINED over
+    ``axis``: embeddings and the final (pre_only) block + head run
+    replicated; blocks 0..depth-2 stream microbatches through the GPipe
+    schedule.  ≡ ``MMDiT.apply`` on one device (tested); same ``params``
+    tree — PP is an apply-time choice, not a different checkpoint.
+    """
+    hs = cfg.hidden_size
+    b, h, w, _ = x.shape
+    p = cfg.patch_size
+    hp, wp = h // p, w // p
+
+    xe = nn.Conv(hs, (p, p), strides=(p, p), padding="VALID",
+                 dtype=dtype).apply(
+        {"params": params["x_embedder"]}, x.astype(dtype))
+    xe = xe.reshape(b, hp * wp, hs)
+    xe = xe + crop_pos_embed(params["pos_embed"], cfg.pos_embed_max_size,
+                             hp, wp).astype(xe.dtype)
+
+    t_freq = timestep_embedding(t, 256, dtype=dtype)
+    c = MLPEmbedder(hs, dtype=dtype).apply(
+        {"params": params["t_embedder"]}, t_freq)
+    if y is not None and cfg.adm_in_channels is not None:
+        c = c + MLPEmbedder(hs, dtype=dtype).apply(
+            {"params": params["y_embedder"]}, y.astype(dtype))
+    if context is not None and cfg.context_dim is not None:
+        context = nn.Dense(hs, dtype=dtype).apply(
+            {"params": params["context_embedder"]}, context.astype(dtype))
+
+    context, xe = pipelined_joint_blocks(
+        cfg, params, context, xe, c, mesh, n_microbatches, axis=axis,
+        dtype=dtype)
+
+    last = JointBlock(hs, cfg.depth, cfg.mlp_ratio, cfg.qkv_bias,
+                      context_pre_only=True, qk_norm=cfg.qk_norm,
+                      dtype=dtype)
+    _, xe = last.apply({"params": params[f"joint_block{cfg.depth - 1}"]},
+                       context, xe, c)
+
+    m = nn.Dense(2 * hs, dtype=dtype).apply(
+        {"params": params["final_adaLN"]}, jax.nn.silu(c))
+    shift, scale = jnp.split(m, 2, axis=-1)
+    xe = modulate(layer_norm(xe, None, None, eps=1e-6), shift, scale)
+    xe = nn.Dense(p * p * cfg.in_channels, dtype=dtype).apply(
+        {"params": params["final_linear"]}, xe)
+    xe = xe.reshape(b, hp, wp, p, p, cfg.in_channels)
+    xe = jnp.einsum("nhwpqc->nhpwqc", xe)
+    return xe.reshape(b, hp * p, wp * p, cfg.in_channels).astype(jnp.float32)

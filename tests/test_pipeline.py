@@ -266,3 +266,28 @@ def test_mmdit_pipeline_composes_with_tp(devices8):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
                                atol=2e-4)
+
+
+@pytest.mark.slow
+def test_mmdit_full_forward_pp_matches_single_device(devices8):
+    """END-TO-END: the full MMDiT forward with pipelined joint blocks
+    (embeddings → 4 PP stages → pre_only block → head) ≡ MMDiT.apply."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        MMDiT, MMDiTConfig, mmdit_forward_pp)
+
+    cfg = MMDiTConfig(depth=5, pos_embed_max_size=8)
+    model = MMDiT(cfg)
+    rng = np.random.default_rng(9)
+    b = 8
+    x = jnp.asarray(rng.standard_normal((b, 8, 8, 16)) * 0.3, jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1000, (b,)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, 2048)) * 0.3, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 20, 4096)) * 0.3, jnp.float32)
+    params = model.init(jax.random.key(9), x, t, y, ctx)["params"]
+    want = model.apply({"params": params}, x, t, y, ctx)
+
+    mesh = build_mesh({"stage": 4}, devices8[:4])
+    got = mmdit_forward_pp(cfg, params, x, t, y, ctx, mesh,
+                           n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4)

@@ -12,8 +12,11 @@ Writes a markdown table to stdout (paste into docs/SERVING_CURVE.md).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +26,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/fdsd_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def sd1_curve(batch_sizes=(1, 2, 4, 8, 16), steps=50):
+def sd1_curve(batch_sizes=(1, 4, 8, 16), steps=50):
     from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import (
         SD1Generator, SD1Models)
 

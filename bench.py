@@ -117,25 +117,28 @@ def bench_sd1_pipeline(iters: int = 3, steps: int = 50):
     step_ms = (time.perf_counter() - t0) / n * 1e3
     print(f"[bench] sd1 denoise step (pipeline executable): {step_ms:.1f} ms",
           file=sys.stderr)
-    bs4_ips = bench_sd1_batch4(gen)
-    return imgs_per_sec, step_ms, bs4_ips
+    bs4_ips = bench_sd1_batch(gen, 4)
+    bs8_ips = bench_sd1_batch(gen, 8, iters=1)
+    return imgs_per_sec, step_ms, bs4_ips, bs8_ips
 
 
-def bench_sd1_batch4(gen, iters: int = 2):
-    """Throughput mode: the same compiled pipeline at batch 4 (one CFG
-    ×8 forward per step). Amortizes fixed per-step work across images."""
-    prompts = ["a photograph of an astronaut riding a horse"] * 4
+def bench_sd1_batch(gen, bs: int, iters: int = 2):
+    """Throughput mode: the same compiled pipeline at batch ``bs`` (one
+    CFG ×2bs forward per step). The measured curve saturates at bs 8
+    (docs/SERVING_CURVE.md) — compute-bound, as the step profile argues."""
+    prompts = ["a photograph of an astronaut riding a horse"] * bs
     t0 = time.perf_counter()
     img = gen(prompts, seed=7)
-    assert img.shape == (4, 512, 512, 3)
-    print(f"[bench] sd1 bs4 warmup+compile: {time.perf_counter()-t0:.1f}s",
+    assert img.shape == (bs, 512, 512, 3)
+    print(f"[bench] sd1 bs{bs} warmup+compile: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(iters):
         gen(prompts, seed=50 + i)
     dt = time.perf_counter() - t0
-    ips = 4 * iters / dt
-    print(f"[bench] sd1 pipeline bs4: {ips:.3f} imgs/sec/chip", file=sys.stderr)
+    ips = bs * iters / dt
+    print(f"[bench] sd1 pipeline bs{bs}: {ips:.3f} imgs/sec/chip",
+          file=sys.stderr)
     return ips
 
 
@@ -180,7 +183,8 @@ def bench_sd3_denoise_step(iters: int = 10):
 
 def main():
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
-    sd1_imgs_per_sec, sd1_step_ms, sd1_bs4_ips = bench_sd1_pipeline()
+    sd1_imgs_per_sec, sd1_step_ms, sd1_bs4_ips, sd1_bs8_ips = \
+        bench_sd1_pipeline()
     sd3_step_ms = bench_sd3_denoise_step()
     imgs_per_sec, step_ms = bench_tiny_sd_train()
     print(json.dumps({
@@ -191,6 +195,7 @@ def main():
         "extra": {
             "sd1_denoise_step_ms": round(sd1_step_ms, 2),
             "sd1_pipeline_bs4_imgs_per_sec": round(sd1_bs4_ips, 4),
+            "sd1_pipeline_bs8_imgs_per_sec": round(sd1_bs8_ips, 4),
             "sd3_medium_denoise_step_ms_1024px_cfg_bf16": round(sd3_step_ms, 2),
             "tiny_sd_train_imgs_per_sec": round(imgs_per_sec, 2),
             "tiny_sd_train_step_ms": round(step_ms, 2),

@@ -75,7 +75,7 @@ def main(argv=None):
             t5_tok = T5XXLTokenizer.from_file(args.spm)
         else:
             # no spiece.model: T5 sees only the empty-prompt tokens
-            from ..io.spm_tokenizer import (NORMAL, UNKNOWN, CONTROL,
+            from ..io.spm_tokenizer import (UNKNOWN, CONTROL,
                                             SentencePieceUnigram)
 
             t5_tok = T5XXLTokenizer(SentencePieceUnigram(

@@ -2,7 +2,7 @@
 
 VERDICT r2 #9: the bs1→bs4 gain (0.90→1.11 imgs/s) needs the rest of the
 curve to justify the compute-bound claim at serving batch sizes.  This
-tool measures the SHIPPED SD1Generator pipeline at bs ∈ {1, 2, 4, 8, 16}
+tool measures the SHIPPED SD1Generator pipeline at bs ∈ {1, 4, 8, 16}
 (each batch size is its own executable; compiles are cached in
 /tmp/fdsd_tpu_cache) and an SD3 step at CFG-batch 2·bs for bs ∈ {1, 2}.
 
@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/fdsd_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

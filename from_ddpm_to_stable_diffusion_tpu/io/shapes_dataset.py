@@ -49,8 +49,12 @@ class ShapesDataset:
 # Captioned variant — the stage-07⁺ multimodal training distribution
 # --------------------------------------------------------------------------
 VLM_VOCAB = ["<pad>", "<bos>", "<eos>", "a", "small", "big",
-             "red", "green", "blue", "circle", "square", "triangle"]
+             "red", "green", "blue", "circle", "square", "triangle",
+             "what", "color", "shape", "size", "?", "describe", "it", "."]
 VLM_PAD, VLM_BOS, VLM_EOS = 0, 1, 2
+# every question is exactly 3 words, so with [BOS, q1, q2, q3, ...] the
+# answer always starts at token index 4 — a STATIC loss/decode boundary
+VQA_ANSWER_START = 4
 
 _PALETTE = {"red": (0.9, 0.15, 0.1), "green": (0.1, 0.85, 0.2),
             "blue": (0.15, 0.25, 0.95)}
@@ -116,3 +120,56 @@ class CaptionedShapesDataset:
                     & (np.abs(xx - cx) <= (yy - (cy - r)) / 2.0))
         img[mask] = rgb * 2.0 - 1.0
         return img, self.encode(self.caption_words(size_word, color, shape))
+
+
+VQA_QUESTIONS = {
+    "describe it .": lambda s, c, sh: ["a", s, c, sh],
+    "what color ?": lambda s, c, sh: [c],
+    "what shape ?": lambda s, c, sh: [sh],
+    "what size ?": lambda s, c, sh: [s],
+}
+
+
+class VQAShapesDataset(CaptionedShapesDataset):
+    """(image, [BOS | 3-word question | answer | EOS]) — the stage-07
+    image+question→answer capability (MiniCPM-V chat parity), grounded:
+    the answer depends on pixels AND which question was asked.  Loss and
+    decoding split at the static ``VQA_ANSWER_START`` boundary."""
+
+    def __init__(self, n: int, img_size: int = 64, seed: int = 0,
+                 max_len: int = 10):
+        super().__init__(n, img_size, seed, max_len)
+        self.questions = list(VQA_QUESTIONS)
+
+    def caption_words(self, size_word, color, shape):
+        # idx-dependent question is chosen in encode_qa via load()
+        return ["a", size_word, color, shape]
+
+    def load(self, idx: int):
+        img, _ = super().load(idx)
+        # recover the attributes deterministically (same rng stream)
+        rng = np.random.default_rng(self.seed * 2_000_003 + idx)
+        shape = ["circle", "square", "triangle"][idx % 3]
+        color = ["red", "green", "blue"][rng.integers(3)]
+        r = rng.uniform(0.12, 0.34) * self.img_size
+        size_word = "big" if r >= 0.23 * self.img_size else "small"
+        question = self.questions[(idx // 3) % len(self.questions)]
+        answer = VQA_QUESTIONS[question](size_word, color, shape)
+        ids = ([VLM_BOS] + [self.word_to_id[w] for w in question.split()]
+               + [self.word_to_id[w] for w in answer] + [VLM_EOS])
+        ids += [VLM_PAD] * (self.max_len - len(ids))
+        return img, np.asarray(ids[: self.max_len], np.int32)
+
+    def encode_question(self, question: str):
+        return np.asarray(
+            [VLM_BOS] + [self.word_to_id[w] for w in question.split()],
+            np.int32)
+
+    def decode_answer(self, ids):
+        out = []
+        for i in np.asarray(ids).tolist()[VQA_ANSWER_START:]:
+            if i == VLM_EOS:
+                break
+            if i != VLM_PAD:
+                out.append(self.vocab[i])
+        return " ".join(out)

@@ -86,25 +86,43 @@ class TinyVLM(nn.Module):
         return logits
 
 
-def vlm_loss(logits, tokens, pad_id: int = 0):
-    """Next-token cross entropy over non-pad targets."""
+def vlm_loss(logits, tokens, pad_id: int = 0, answer_start: int = 0):
+    """Next-token cross entropy over non-pad targets.
+
+    ``answer_start``: token index where supervised text begins (the static
+    question/answer boundary for VQA) — targets before it are masked, so
+    the model is never trained to predict the user's question.
+    """
     targets = tokens[:, 1:]
     logits = logits[:, :-1]
     mask = (targets != pad_id).astype(jnp.float32)
+    if answer_start > 1:
+        pos = jnp.arange(targets.shape[1])
+        mask = mask * (pos >= answer_start - 1).astype(jnp.float32)[None]
     ll = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(ll, targets[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def greedy_decode(model: TinyVLM, params, images, bos_id: int = 1,
-                  max_len: int = 8):
-    """Greedy caption generation: (B, max_len) int32 token ids.
+                  max_len: int = 8, prompt_ids=None):
+    """Greedy generation: (B, max_len) int32 token ids.
 
-    Fixed-shape: every step runs the same (N+L)-token forward (one
-    compiled program), writing the argmax of position t into slot t+1.
+    ``prompt_ids`` (B, P) or (P,): fixed prefix (BOS + question for VQA);
+    decoding fills slots P..max_len-1.  Fixed-shape: every step runs the
+    same (N+L)-token forward (one compiled program), writing the argmax of
+    position t into slot t+1.
     """
     b = images.shape[0]
     tokens0 = jnp.full((b, max_len), 0, jnp.int32).at[:, 0].set(bos_id)
+    start = 0
+    if prompt_ids is not None:
+        prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+        if prompt_ids.ndim == 1:
+            prompt_ids = jnp.broadcast_to(prompt_ids,
+                                          (b,) + prompt_ids.shape)
+        start = prompt_ids.shape[1] - 1
+        tokens0 = tokens0.at[:, : prompt_ids.shape[1]].set(prompt_ids)
 
     @jax.jit
     def run(params, images, tokens):
@@ -113,7 +131,8 @@ def greedy_decode(model: TinyVLM, params, images, bos_id: int = 1,
             nxt = jnp.argmax(logits[:, t], axis=-1).astype(jnp.int32)
             return tokens.at[:, t + 1].set(nxt), None
 
-        tokens, _ = jax.lax.scan(step, tokens, jnp.arange(max_len - 1))
+        tokens, _ = jax.lax.scan(step, tokens,
+                                 jnp.arange(start, max_len - 1))
         return tokens
 
     return run(params, images, tokens0)

@@ -26,8 +26,10 @@ class VLMTrainer:
     def __init__(self, model: TinyVLM, lr: float = 3e-4,
                  weight_decay: float = 0.01, warmup_steps: int = 100,
                  total_steps: int = 2000, mesh=None,
-                 logger: Optional[MetricsLogger] = None, seed: int = 0):
+                 logger: Optional[MetricsLogger] = None, seed: int = 0,
+                 answer_start: int = 0):
         self.model = model
+        self.answer_start = answer_start  # VQA: mask question targets
         self.mesh = mesh if mesh is not None else build_mesh(None)
         self.logger = logger or MetricsLogger()
         self.schedule = optax.warmup_cosine_decay_schedule(
@@ -51,11 +53,12 @@ class VLMTrainer:
 
     def _build_train_step(self):
         model = self.model
+        answer_start = self.answer_start
 
         def step_fn(state, images, tokens):
             def loss_fn(params):
                 logits = model.apply({"params": params}, images, tokens)
-                return vlm_loss(logits, tokens)
+                return vlm_loss(logits, tokens, answer_start=answer_start)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             return state.apply_gradients(grads=grads), loss
@@ -115,5 +118,25 @@ class VLMTrainer:
                                 max_len=self.model.max_text_len)
             for g, want in zip(np.asarray(got), caps):
                 if dataset.decode(g) == dataset.decode(want):
+                    correct += 1
+        return correct / n
+
+    def qa_accuracy(self, state, dataset, n: int = 64,
+                    batch_size: int = 32) -> float:
+        """Exact-match ANSWER accuracy: decode each held-out example with
+        its [BOS | question] prefix and compare the answer span."""
+        from ..io.shapes_dataset import VQA_ANSWER_START
+
+        correct = 0
+        for s in range(0, n, batch_size):
+            idxs = range(s, min(s + batch_size, n))
+            imgs, toks = zip(*(dataset.load(i) for i in idxs))
+            prompts = np.stack(toks)[:, :VQA_ANSWER_START]
+            got = greedy_decode(self.model, state.params,
+                                jnp.asarray(np.stack(imgs)),
+                                max_len=self.model.max_text_len,
+                                prompt_ids=prompts)
+            for g, want in zip(np.asarray(got), toks):
+                if dataset.decode_answer(g) == dataset.decode_answer(want):
                     correct += 1
         return correct / n

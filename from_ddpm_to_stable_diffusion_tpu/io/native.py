@@ -81,3 +81,99 @@ class NativeBPETokenizer:
         if handle:
             self._lib.bpe_destroy(handle)
             self._handle = None
+
+
+# --------------------------------------------------------------------------
+# Native safetensors reader
+# --------------------------------------------------------------------------
+_ST_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def _st_numpy_dtype(st_dtype: str):
+    if st_dtype == "BF16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    try:
+        return np.dtype(_ST_DTYPES[st_dtype])
+    except KeyError:
+        raise ValueError(f"unsupported safetensors dtype {st_dtype!r}")
+
+
+class NativeSafetensors:
+    """mmap-backed safetensors file (C++ reader, zero-copy views).
+
+    ``get_tensor(name)`` returns an owning copy (safe default).
+    ``get_tensor(name, copy=False)`` returns a zero-copy view onto the
+    mapped file — ONLY valid while this object is open (``close`` /
+    ``__del__`` unmap; a surviving view then reads freed memory), for
+    callers that immediately ``jax.device_put`` / convert.  API mirrors
+    ``safetensors.safe_open`` enough for the weight-import layer.
+    """
+
+    def __init__(self, path: str):
+        lib_path = build_native("safetensors_reader")
+        self._lib = ctypes.CDLL(lib_path)
+        for name, restype, argtypes in [
+            ("st_open", ctypes.c_void_p, [ctypes.c_char_p]),
+            ("st_error", ctypes.c_char_p, [ctypes.c_void_p]),
+            ("st_count", ctypes.c_int64, [ctypes.c_void_p]),
+            ("st_name", ctypes.c_char_p, [ctypes.c_void_p, ctypes.c_int64]),
+            ("st_dtype", ctypes.c_char_p, [ctypes.c_void_p, ctypes.c_int64]),
+            ("st_ndim", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64]),
+            ("st_shape", None, [ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.POINTER(ctypes.c_int64)]),
+            ("st_nbytes", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int64]),
+            ("st_data", ctypes.c_void_p, [ctypes.c_void_p, ctypes.c_int64]),
+            ("st_close", None, [ctypes.c_void_p]),
+        ]:
+            fn = getattr(self._lib, name)
+            fn.restype = restype
+            fn.argtypes = argtypes
+        self._handle = self._lib.st_open(path.encode())
+        err = self._lib.st_error(self._handle)
+        if err:
+            msg = err.decode()
+            self.close()
+            raise ValueError(f"safetensors read failed for {path!r}: {msg}")
+        self._index = {}
+        for i in range(self._lib.st_count(self._handle)):
+            self._index[self._lib.st_name(self._handle, i).decode()] = i
+
+    def keys(self):
+        return list(self._index)
+
+    def _info(self, i):
+        ndim = self._lib.st_ndim(self._handle, i)
+        shape = (ctypes.c_int64 * max(ndim, 1))()
+        self._lib.st_shape(self._handle, i, shape)
+        dtype = _st_numpy_dtype(self._lib.st_dtype(self._handle, i).decode())
+        return tuple(shape[:ndim]), dtype
+
+    def get_tensor(self, name: str, copy: bool = True) -> np.ndarray:
+        i = self._index[name]
+        shape, dtype = self._info(i)
+        nbytes = self._lib.st_nbytes(self._handle, i)
+        ptr = self._lib.st_data(self._handle, i)
+        buf = (ctypes.c_char * nbytes).from_address(ptr)
+        arr = np.frombuffer(buf, dtype=dtype).reshape(shape)
+        return np.array(arr) if copy else arr
+
+    def close(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.st_close(handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()

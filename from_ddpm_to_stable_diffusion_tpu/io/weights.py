@@ -20,6 +20,7 @@ directly (row order q|k|v matches our split convention).
 
 from __future__ import annotations
 
+import subprocess
 from typing import Any, Callable, Dict, List, Tuple
 
 import numpy as np
@@ -42,7 +43,24 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 def load_safetensors_dict(path: str,
                           prefix: str = "") -> Dict[str, np.ndarray]:
     """Read a .safetensors file into {key: numpy}, optionally filtered and
-    stripped by prefix (mirrors load_into's prefix walk)."""
+    stripped by prefix (mirrors load_into's prefix walk).
+
+    Uses the native (C++ mmap) reader — header parse and IO off the GIL,
+    tensors copied out of the map so they outlive it — with the
+    safetensors package as fallback (FDSD_ST_READER=python forces it).
+    """
+    import os
+
+    if os.environ.get("FDSD_ST_READER") != "python":
+        try:
+            from .native import NativeSafetensors
+
+            with NativeSafetensors(path) as f:
+                return {k[len(prefix):]: f.get_tensor(k, copy=True)
+                        for k in f.keys()
+                        if not prefix or k.startswith(prefix)}
+        except (OSError, subprocess.CalledProcessError):
+            pass  # no compiler / unsupported platform — python fallback
     from safetensors import safe_open
 
     out = {}

@@ -43,6 +43,13 @@ def main(argv=None):
     g.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel serving over N devices (shards "
                         "MMDiT/CLIP/T5 kernels on the model mesh axis)")
+    g.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel MMDiT joint attention over N "
+                        "devices (ring KV rotation / Ulysses all-to-all; "
+                        "for >16k-token joint sequences — see "
+                        "docs/RING_SCALING.md; mutually exclusive w/ --tp)")
+    g.add_argument("--sp-impl", choices=("ring", "ulysses"),
+                   default="ring")
     g.add_argument("--save-trajectory", action="store_true",
                    help="also save a grid of per-step latent RGB previews")
     g.add_argument("--out", default="sd3_out.png")
@@ -84,12 +91,23 @@ def main(argv=None):
         tokenizer = SD3Tokenizer(clip_tok, t5_tok)
 
     mesh = None
+    if args.tp > 1 and args.sp > 1:
+        ap.error("--tp and --sp are mutually exclusive")
     if args.tp > 1:
-        import jax
-
         from ..parallel import build_mesh
 
         mesh = build_mesh({"model": args.tp}, jax.devices()[:args.tp])
+    if args.sp > 1:
+        import dataclasses as _dc
+
+        from ..parallel import build_mesh
+
+        seq_mesh = build_mesh({"seq": args.sp}, jax.devices()[:args.sp])
+        from ..models.mmdit import MMDiT
+
+        models.mmdit = MMDiT(
+            _dc.replace(models.mmdit.config, attention_impl=args.sp_impl),
+            dtype=models.mmdit.dtype, mesh=seq_mesh)
     inf = SD3Inferencer(models, shift=args.shift, tokenizer=tokenizer,
                         mesh=mesh)
     kwargs = dict(width=args.width, height=args.height, steps=args.steps,

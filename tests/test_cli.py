@@ -153,3 +153,16 @@ def test_video_cli_train_and_sample(tmp_path):
         "--T", "5", "--dtype", "fp32", "--out", str(out)])
     assert rc == 0
     assert out.exists() or out.with_suffix(".png.npy").exists()
+
+
+@pytest.mark.slow
+def test_sd3_cli_sequence_parallel(tmp_path, devices8):
+    """sd3 generate --sp 2: the MMDiT joint attention runs under Ulysses
+    sequence parallelism end to end through the CLI smoke path."""
+    from from_ddpm_to_stable_diffusion_tpu.cli import sd3
+
+    out = tmp_path / "sd3_sp.png"
+    rc = sd3.main(["generate", "--prompt", "a cat", "--width", "128",
+                   "--height", "128", "--steps", "2", "--sp", "2",
+                   "--sp-impl", "ulysses", "--out", str(out)])
+    assert rc == 0 and out.exists()

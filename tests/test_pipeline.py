@@ -291,3 +291,43 @@ def test_mmdit_full_forward_pp_matches_single_device(devices8):
                            n_microbatches=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-4)
+
+
+@pytest.mark.slow
+def test_mmdit_full_forward_pp_grads(devices8):
+    """Training through the pipelined full forward: autodiff through the
+    GPipe shard_map (ppermute transposes to the reverse rotation) must
+    equal single-device gradients — full-model PP training, embeddings
+    and head included."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        MMDiT, MMDiTConfig, mmdit_forward_pp)
+
+    cfg = MMDiTConfig(depth=3, pos_embed_max_size=8)
+    model = MMDiT(cfg)
+    rng = np.random.default_rng(11)
+    b = 4
+    x = jnp.asarray(rng.standard_normal((b, 8, 8, 16)) * 0.3, jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1000, (b,)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, 2048)) * 0.3, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 12, 4096)) * 0.3, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((b, 8, 8, 16)) * 0.3, jnp.float32)
+    params = model.init(jax.random.key(11), x, t, y, ctx)["params"]
+    mesh = build_mesh({"stage": 2}, devices8[:2])
+
+    def loss_pp(p):
+        out = mmdit_forward_pp(cfg, p, x, t, y, ctx, mesh,
+                               n_microbatches=2)
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_ref(p):
+        out = model.apply({"params": p}, x, t, y, ctx)
+        return jnp.mean((out - tgt) ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_pp)(params)
+    l2, g2 = jax.value_and_grad(loss_ref)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, a in flat1:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(flat2[path]),
+                                   atol=3e-4, err_msg=str(path))

@@ -23,7 +23,7 @@ def main(argv=None):
     g.add_argument("--height", type=int, default=512)
     g.add_argument("--width", type=int, default=512)
     g.add_argument("--sampler", default="k_lms",
-                   choices=["k_lms", "k_euler", "k_euler_ancestral"])
+                   choices=["k_lms", "k_euler", "k_euler_ancestral", "dpmpp_2m"])
     g.add_argument("--steps", type=int, default=50)
     g.add_argument("--seed", type=int, default=None)
     g.add_argument("--prompt-weighting", action="store_true",

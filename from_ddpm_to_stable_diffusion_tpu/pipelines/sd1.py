@@ -34,7 +34,7 @@ from ..samplers.k_samplers import (KSamplerConfig, k_sampler_scan,
                                    make_sampler_body, sigma_tables)
 from ..utils.dtypes import POLICIES
 
-SAMPLERS = ("k_lms", "k_euler", "k_euler_ancestral")
+SAMPLERS = ("k_lms", "k_euler", "k_euler_ancestral", "dpmpp_2m")
 
 
 def _store_params(params, compute_dtype):

@@ -29,7 +29,10 @@ from ..ops import schedules
 
 @dataclasses.dataclass(frozen=True)
 class KSamplerConfig:
-    method: str = "k_lms"           # k_lms | k_euler | k_euler_ancestral
+    # k_lms | k_euler | k_euler_ancestral (the reference's three) |
+    # dpmpp_2m (DPM-Solver++(2M) — beyond the reference; the modern
+    # k-diffusion default, noticeably better at low step counts)
+    method: str = "k_lms"
     n_inference_steps: int = 50
     n_training_steps: int = 1000
     lms_order: int = 4
@@ -109,6 +112,45 @@ def make_sampler_body(
             return x + out * (sigmas[t + 1] - sigmas[t]), None
 
         return body, lambda latents: latents, lambda carry: carry
+
+    if cfg.method == "dpmpp_2m":
+        # DPM-Solver++(2M), ε-prediction form (denoised = x − σ_t·ε̂).
+        # All log-σ coefficients precompute on host in float64:
+        #   h_t = ln σ_t − ln σ_{t+1}
+        #   ratio_t = σ_{t+1}/σ_t = e^{−h_t};  em1_t = expm1(−h_t)
+        #   r_t = h_{t−1}/h_t  (the 2nd-order history weight)
+        # Step: x ← ratio·x − em1·D with D = (1+1/2r)·denoised −
+        # (1/2r)·prev_denoised; first executed step and the final σ=0 step
+        # fall back to first order (the k-diffusion recipe).
+        import numpy as np
+
+        s = np.asarray(tables["sigmas"], np.float64)
+        n = len(s) - 1
+        ls = np.log(np.maximum(s, 1e-40))
+        h = ls[:-1] - ls[1:]
+        ratio_t = jnp.asarray(s[1:] / np.maximum(s[:-1], 1e-40),
+                              jnp.float32)
+        em1_t = jnp.asarray(np.expm1(-h), jnp.float32)
+        r = np.ones(n)
+        r[1:] = h[:-1] / np.maximum(h[1:], 1e-40)
+        r_t = jnp.asarray(r, jnp.float32)
+        use2_t = jnp.asarray(
+            (np.arange(n) > tables["start_step"]) & (s[1:] > 0))
+
+        def body(carry, t):
+            x, old = carry
+            out = denoise_fn(x * scales[t], timesteps[t])
+            denoised = x - sigmas[t] * out
+            w = 1.0 / (2.0 * r_t[t])
+            d2 = (1.0 + w) * denoised - w * old
+            d = jnp.where(use2_t[t], d2, denoised)
+            x = ratio_t[t] * x - em1_t[t] * d
+            return (x, denoised), None
+
+        def make_carry(latents):
+            return (latents, jnp.zeros_like(latents))
+
+        return body, make_carry, lambda carry: carry[0]
 
     if cfg.method == "k_euler_ancestral":
 

@@ -145,3 +145,62 @@ def test_flow_euler_trajectory():
                                     keep_trajectory=True)
     assert traj.shape == (4,) + x0.shape
     np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(final))
+
+
+def _dpmpp_2m_reference(denoise_np, x, sigmas):
+    """k-diffusion sample_dpmpp_2m in plain numpy (the oracle)."""
+    t_fn = lambda sigma: -np.log(sigma)
+    sigma_fn = lambda t: np.exp(-t)
+    old_denoised = None
+    for i in range(len(sigmas) - 1):
+        eps = denoise_np(x / np.sqrt(sigmas[i] ** 2 + 1.0), i)
+        denoised = x - sigmas[i] * eps
+        if sigmas[i + 1] == 0:
+            x = denoised
+        else:
+            t, t_next = t_fn(sigmas[i]), t_fn(sigmas[i + 1])
+            h = t_next - t
+            if old_denoised is None:
+                d = denoised
+            else:
+                h_last = t - t_fn(sigmas[i - 1])
+                r = h_last / h
+                d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+            x = (sigma_fn(t_next) / sigma_fn(t)) * x + np.expm1(-h) * (-d)
+        old_denoised = denoised
+    return x
+
+
+def test_dpmpp_2m_matches_reference_loop():
+    cfg = KSamplerConfig(method="dpmpp_2m", n_inference_steps=12)
+    tabs = sigma_tables(cfg)
+    sigmas = np.asarray(tabs["sigmas"], np.float64)
+    x0 = np.random.default_rng(3).standard_normal((1, 4, 4, 2)).astype(
+        np.float32)
+
+    # deterministic mock ε-model: mixes the input with a fixed pattern
+    pattern = np.random.default_rng(4).standard_normal(x0.shape).astype(
+        np.float32)
+
+    def denoise_np(x, i):
+        return 0.3 * x + 0.05 * pattern * (i + 1)
+
+    want = _dpmpp_2m_reference(denoise_np, x0.astype(np.float64), sigmas)
+
+    steps_seen = []
+
+    def denoise_jax(x, timestep):
+        # timestep identifies the step: map back to index via table lookup
+        idx = jnp.argmin(jnp.abs(jnp.asarray(tabs["timesteps"]) - timestep))
+        return 0.3 * x + 0.05 * jnp.asarray(pattern) * (idx + 1.0)
+
+    got = k_sampler_scan(denoise_jax, jnp.asarray(x0), cfg)
+    np.testing.assert_allclose(np.asarray(got), want.astype(np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dpmpp_2m_in_sd1_generate_contract():
+    """dpmpp_2m is selectable through the SD1 pipeline surface."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import SAMPLERS
+
+    assert "dpmpp_2m" in SAMPLERS

@@ -100,7 +100,7 @@ def fake_models():
     return _FakeModels()
 
 
-@pytest.mark.parametrize("sampler", ["k_lms", "k_euler", "k_euler_ancestral"])
+@pytest.mark.parametrize("sampler", ["k_lms", "k_euler", "k_euler_ancestral", "dpmpp_2m"])
 def test_generate_contract(fake_models, sampler):
     from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import generate
 
@@ -110,7 +110,7 @@ def test_generate_contract(fake_models, sampler):
     assert out.dtype == np.uint8
 
 
-@pytest.mark.parametrize("sampler", ["k_lms", "k_euler", "k_euler_ancestral"])
+@pytest.mark.parametrize("sampler", ["k_lms", "k_euler", "k_euler_ancestral", "dpmpp_2m"])
 def test_sd1_generator_matches_generate(fake_models, sampler):
     """The compile-once SD1Generator must reproduce generate() exactly
     (same stages, same math — only the compile-unit boundary differs)."""

@@ -59,8 +59,10 @@ def load_safetensors_dict(path: str,
                 return {k[len(prefix):]: f.get_tensor(k, copy=True)
                         for k in f.keys()
                         if not prefix or k.startswith(prefix)}
-        except (OSError, subprocess.CalledProcessError):
-            pass  # no compiler / unsupported platform — python fallback
+        except (OSError, ValueError, subprocess.CalledProcessError):
+            # no compiler, unsupported platform, or a dtype/layout the
+            # native reader doesn't cover — python fallback
+            pass
     from safetensors import safe_open
 
     out = {}

@@ -18,6 +18,7 @@ serves every step), bf16 compute with fp32 logits.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -123,16 +124,19 @@ def greedy_decode(model: TinyVLM, params, images, bos_id: int = 1,
                                           (b,) + prompt_ids.shape)
         start = prompt_ids.shape[1] - 1
         tokens0 = tokens0.at[:, : prompt_ids.shape[1]].set(prompt_ids)
+    # module-level jit keyed on (model, start): eval loops reuse ONE
+    # executable per shape instead of re-jitting per call
+    return _decode_run(model, start, params, images, tokens0)
 
-    @jax.jit
-    def run(params, images, tokens):
-        def step(tokens, t):
-            logits = model.apply({"params": params}, images, tokens)
-            nxt = jnp.argmax(logits[:, t], axis=-1).astype(jnp.int32)
-            return tokens.at[:, t + 1].set(nxt), None
 
-        tokens, _ = jax.lax.scan(step, tokens,
-                                 jnp.arange(start, max_len - 1))
-        return tokens
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _decode_run(model, start, params, images, tokens):
+    max_len = tokens.shape[1]
 
-    return run(params, images, tokens0)
+    def step(tokens, t):
+        logits = model.apply({"params": params}, images, tokens)
+        nxt = jnp.argmax(logits[:, t], axis=-1).astype(jnp.int32)
+        return tokens.at[:, t + 1].set(nxt), None
+
+    tokens, _ = jax.lax.scan(step, tokens, jnp.arange(start, max_len - 1))
+    return tokens

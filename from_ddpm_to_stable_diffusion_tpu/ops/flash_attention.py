@@ -128,8 +128,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
         l = l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         _st(o_ref, acc_ref[:] / safe_l)
-        _st(lse_ref, jnp.broadcast_to(m_ref[:, :1] + jnp.log(safe_l),
-                                      (block_q, 128)))
+        # lse block is (block_q, 1): the bwd kernels consume this layout
+        # directly, and a 128-lane broadcast would write 128x the bytes
+        _st(lse_ref, m_ref[:, :1] + jnp.log(safe_l))
 
 
 def _occupancy_block_q(block_q: int, lq: int) -> int:
@@ -210,11 +211,11 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
     ]
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-        pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-        jax.ShapeDtypeStruct((b * h, lq_p, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b * h, lq_p, 1), jnp.float32),
     ]
 
     args = [qp, kp, vp]
@@ -755,8 +756,7 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
         _st(o_ref, acc_ref[:] / safe_l)
         # fully-masked rows keep m = NEG_INF -> lse = NEG_INF + log 1, which
         # the ring's log-sum-exp merge treats as "no contribution".
-        _st(lse_ref, jnp.broadcast_to(m_ref[:, :1] + jnp.log(safe_l),
-                                      (block_q, 128)))
+        _st(lse_ref, m_ref[:, :1] + jnp.log(safe_l))
 
 
 def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
@@ -803,11 +803,11 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lq_p, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),

@@ -166,6 +166,32 @@ def check_clip_pretrained(ckpt: str, image_path: str, vocab_dir: str,
     return probs
 
 
+def check_siglip_pretrained(ckpt: str, image_path: str):
+    """Pretrained SigLIP vision tower on an image: loads the HF-layout
+    checkpoint through io.weights_clip.import_siglip_vision and prints the
+    patch-feature summary (the reference's SigLIP is vision-only,
+    model_siglip.py:235 — no text head to score against)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ..io.weights_clip import import_siglip_vision
+    from ..models.siglip import SiglipVisionConfig, SiglipVisionModel
+
+    params, cfg = import_siglip_vision(ckpt)
+    model = SiglipVisionModel(SiglipVisionConfig(**cfg))
+    img = Image.open(image_path).convert("RGB").resize(
+        (cfg["image_size"], cfg["image_size"]))
+    x = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)[None]
+    feats = jax.jit(lambda p, x: model.apply({"params": p}, x))(
+        jax.tree_util.tree_map(jnp.asarray, params), x)
+    print(f"  SigLIP({cfg['num_hidden_layers']}L/{cfg['hidden_size']}d, "
+          f"patch {cfg['patch_size']}): {x.shape} -> {feats.shape}  "
+          f"mean {float(feats.mean()):+.4f}  std {float(feats.std()):.4f}")
+    return feats
+
+
 def check_weights(path: str):
     """Dump tensor names/shapes/dtypes of a checkpoint file — the
     reference's check_tensor() (01_.../01_check.py:100-108)."""
@@ -189,6 +215,8 @@ def main(argv=None):
     ap.add_argument("path", nargs="?", help="checkpoint path (weights mode)")
     ap.add_argument("--ckpt", help="pretrained OpenAI-CLIP checkpoint: "
                     "run the stage-05 real-weights check (clip stage only)")
+    ap.add_argument("--siglip-ckpt",
+                    help="pretrained HF SigLIP checkpoint (clip stage)")
     ap.add_argument("--image", help="image for the pretrained CLIP check")
     ap.add_argument("--vocab-dir", help="dir with vocab.json + merges.txt")
     ap.add_argument("--prompt", action="append",
@@ -204,6 +232,11 @@ def main(argv=None):
             ap.error("--ckpt needs --image and --vocab-dir")
         check_clip_pretrained(args.ckpt, args.image, args.vocab_dir,
                               args.prompt)
+        return 0
+    if args.stage == "clip" and args.siglip_ckpt:
+        if not args.image:
+            ap.error("--siglip-ckpt needs --image")
+        check_siglip_pretrained(args.siglip_ckpt, args.image)
         return 0
     stages = sorted(CHECKS) if args.stage == "all" else [args.stage]
     for s in stages:

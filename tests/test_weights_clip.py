@@ -312,3 +312,51 @@ def test_check_clip_pretrained_cli(tmp_path):
     probs = check_clip_pretrained(str(ckpt), str(img), str(tmp_path))
     assert probs.shape == (3,)
     np.testing.assert_allclose(float(probs.sum()), 1.0, atol=1e-5)
+
+
+def test_check_siglip_pretrained_cli(tmp_path):
+    """cli.checks clip --siglip-ckpt: synthetic HF-layout checkpoint +
+    image -> finite patch features (head keys dropped by the importer)."""
+    from PIL import Image
+
+    from from_ddpm_to_stable_diffusion_tpu.cli.checks import (
+        check_siglip_pretrained)
+
+    rng = np.random.default_rng(7)
+    hidden, inter, layers, patch = 32, 64, 2, 16
+    state = {
+        "vision_model.embeddings.patch_embedding.weight":
+            rng.standard_normal((hidden, 3, patch, patch)) * 0.05,
+        "vision_model.embeddings.patch_embedding.bias":
+            rng.standard_normal(hidden) * 0.05,
+        "vision_model.embeddings.position_embedding.weight":
+            rng.standard_normal((4, hidden)) * 0.05,
+        "vision_model.post_layernorm.weight": np.ones(hidden),
+        "vision_model.post_layernorm.bias": np.zeros(hidden),
+        # pooling head the importer must drop
+        "vision_model.head.probe": rng.standard_normal((1, 1, hidden)),
+    }
+    for i in range(layers):
+        p = f"vision_model.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            state[f"{p}.{ln}.weight"] = np.ones(hidden)
+            state[f"{p}.{ln}.bias"] = np.zeros(hidden)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            state[f"{p}.self_attn.{proj}.weight"] = \
+                rng.standard_normal((hidden, hidden)) * 0.05
+            state[f"{p}.self_attn.{proj}.bias"] = np.zeros(hidden)
+        state[f"{p}.mlp.fc1.weight"] = rng.standard_normal(
+            (inter, hidden)) * 0.05
+        state[f"{p}.mlp.fc1.bias"] = np.zeros(inter)
+        state[f"{p}.mlp.fc2.weight"] = rng.standard_normal(
+            (hidden, inter)) * 0.05
+        state[f"{p}.mlp.fc2.bias"] = np.zeros(hidden)
+    ckpt = tmp_path / "siglip.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in state.items()}, ckpt)
+    img = tmp_path / "img.png"
+    Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(
+        img)
+    feats = check_siglip_pretrained(str(ckpt), str(img))
+    assert feats.shape == (1, 4, hidden)
+    assert np.isfinite(np.asarray(feats)).all()

@@ -12,7 +12,7 @@ from __future__ import annotations
 import sys
 
 STAGES = ("sd1", "sd3", "vae", "vit", "tiny_sd", "video", "multimodal",
-          "demos", "checks")
+          "demos", "checks", "serve")
 
 
 def main(argv=None):

@@ -278,6 +278,13 @@ class SD1Generator:
             models.decoder.apply({"params": p}, z)))
         self._encode = jax.jit(lambda p, x, n: models.encoder.apply(
             {"params": p}, x, n))
+        # per-sample seeded initial latents (serving: each request in a
+        # dynamically-formed batch keeps ITS seed's noise regardless of who
+        # it was batched with) — one vmapped draw, jitted once
+        h8, w8 = height // 8, width // 8
+        self._seeded_latents = jax.jit(lambda seeds: jax.vmap(
+            lambda s: jax.random.normal(jax.random.key(s),
+                                        (h8, w8, 4)))(seeds))
         # the jitted sampler step is built lazily per (batch, start_step) —
         # the denoise body closes over the text context, which changes per
         # call, so context rides in the carry to keep ONE compiled
@@ -338,13 +345,24 @@ class SD1Generator:
                  uncond_prompts: Optional[Sequence[str]] = None,
                  seed: Optional[int] = None,
                  input_images: Optional[Sequence[np.ndarray]] = None,
-                 strength: float = 0.8) -> np.ndarray:
+                 strength: float = 0.8,
+                 per_sample_seeds: Optional[Sequence[Optional[int]]] = None,
+                 ) -> np.ndarray:
         """txt2img, or img2img when ``input_images`` (uint8 HWC arrays at
         the pipeline size) are given: latents start from the VAE-encoded
         image noised to σ[start_step] and the SAME compiled step runs the
         remaining steps (the step index lives in the carry, so partial
-        trajectories reuse the txt2img executable)."""
+        trajectories reuse the txt2img executable).
+
+        ``per_sample_seeds`` (txt2img only) draws each sample's initial
+        latents from its OWN key, so a request batched by the serving layer
+        reproduces identically at any batch size with the deterministic
+        samplers (k_lms / k_euler / dpmpp_2m); ``None`` entries derive from
+        ``seed`` and position. Ancestral samplers additionally mix a
+        batch-level key per step, so they are only batch-reproducible."""
         b = len(prompts)
+        if per_sample_seeds is not None and input_images is not None:
+            raise ValueError("per_sample_seeds is txt2img-only")
         rng = jax.random.key(0 if seed is None else seed)
         _, noise_key, enc_key, anc_key = jax.random.split(rng, 4)
         uncond_prompts = list(uncond_prompts or [""] * b)
@@ -383,6 +401,17 @@ class SD1Generator:
             latents = self._encode(self.models.params["encoder"], imgs,
                                    enc_noise)
             latents = latents + jax.random.normal(noise_key, latents.shape) \
+                * tables["initial_scale"]
+        elif per_sample_seeds is not None:
+            if len(per_sample_seeds) != b:
+                raise ValueError("per_sample_seeds must match len(prompts)")
+            cfg, tables = self.cfg, self.tables
+            base = 0 if seed is None else seed
+            filled = np.asarray(
+                [(s if s is not None else base * 100003 + 17 * i + 1)
+                 & 0xFFFFFFFF for i, s in enumerate(per_sample_seeds)],
+                np.uint32)
+            latents = self._seeded_latents(jnp.asarray(filled)) \
                 * tables["initial_scale"]
         else:
             cfg, tables = self.cfg, self.tables

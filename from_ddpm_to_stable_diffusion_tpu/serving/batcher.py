@@ -1,0 +1,203 @@
+"""Dynamic request batching for compiled-generator serving.
+
+The reference's serving story is a remote-API client (09_api/01_replicate.py
+— it *calls* a production service). This module is the server side the
+reference delegates away: a TPU-native serving core that coalesces
+concurrent single-image requests into batched generator calls.
+
+Why batching is THE serving lever on TPU: the SD1 denoise step is
+MXU-roofline-bound per *batch*, and throughput rises with batch until the
+chip saturates (docs/SERVING_CURVE.md: 0.89 imgs/s at bs1 → 1.12 at bs8 on
+one v5e). But XLA executables are shape-specialized — serving arbitrary
+batch sizes naively would recompile per size (minutes over the remote
+tunnel). So the batcher quantizes every batch to a fixed *bucket ladder*
+(default 1/2/4/8), padding with a duplicate of the first request and
+slicing the pad off the result; each bucket compiles exactly once (warmup
+can pre-compile all of them before the port opens).
+
+Threading model: callers block on a per-request event; one worker thread
+owns the generator (JAX dispatch is not thread-safe across concurrent
+traces, and one executable stream keeps the device queue coherent). The
+first request of a batch waits up to ``max_wait_ms`` for co-riders — a
+~25 ms window against a multi-second generation is free, and it is what
+converts a burst of N requests into one bucket-N call instead of N bucket-1
+calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class GenerateRequest:
+    """One image request. ``seed=None`` lets the server pick (non-reproducible);
+    an explicit seed is honored per-sample regardless of batch composition
+    (see SD1Generator per-sample seeds)."""
+
+    prompt: str
+    negative_prompt: str = ""
+    seed: Optional[int] = None
+
+
+class Future:
+    """Minimal completion handle: ``result()`` blocks until the worker
+    fulfils or fails the request."""
+
+    def __init__(self):
+        self._event = threading.Event()
+        self._result: Optional[np.ndarray] = None
+        self._error: Optional[BaseException] = None
+
+    def _fulfil(self, result: np.ndarray):
+        self._result = result
+        self._event.set()
+
+    def _fail(self, err: BaseException):
+        self._error = err
+        self._event.set()
+
+    def result(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self._event.wait(timeout):
+            raise TimeoutError("generation did not complete in time")
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+
+# generate_fn contract: (prompts, negative_prompts, seeds) -> uint8 images
+# (B, H, W, 3); all three lists have the same (bucket) length.
+GenerateFn = Callable[[Sequence[str], Sequence[str], Sequence[Optional[int]]],
+                      np.ndarray]
+
+_SHUTDOWN = object()
+
+
+class DynamicBatcher:
+    def __init__(self, generate_fn: GenerateFn,
+                 buckets: Sequence[int] = (1, 2, 4, 8),
+                 max_wait_ms: float = 25.0, max_queue: int = 256):
+        if not buckets or list(buckets) != sorted(set(buckets)):
+            raise ValueError("buckets must be sorted, unique, non-empty")
+        self.generate_fn = generate_fn
+        self.buckets = tuple(int(b) for b in buckets)
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._lock = threading.Lock()
+        self._metrics = {
+            "requests": 0, "served": 0, "failed": 0, "batches": 0,
+            "batched_requests": 0,  # sum of real (unpadded) batch sizes
+            "padded_slots": 0,
+        }
+        self._latencies_ms: list = []  # ring of recent end-to-end latencies
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="fdsd-batcher")
+        self._worker.start()
+
+    # ----------------------------------------------------------------- API
+
+    def submit(self, request: GenerateRequest) -> Future:
+        fut = Future()
+        with self._lock:
+            self._metrics["requests"] += 1
+        try:
+            self._q.put_nowait((request, fut, time.monotonic()))
+        except queue.Full:
+            fut._fail(RuntimeError("server overloaded: request queue full"))
+        return fut
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None,
+               prompt: str = "") -> None:
+        """Pre-compile each bucket's executable before serving traffic.
+        Runs on the caller's thread THROUGH the queue so the worker remains
+        the only thread driving the generator."""
+        for b in buckets or self.buckets:
+            futs = [self.submit(GenerateRequest(prompt=prompt, seed=0))
+                    for _ in range(b)]
+            for f in futs:
+                f.result()
+
+    def metrics(self) -> dict:
+        with self._lock:
+            m = dict(self._metrics)
+            lat = sorted(self._latencies_ms)
+        m["queue_depth"] = self._q.qsize()
+        m["mean_batch"] = (m["batched_requests"] / m["batches"]
+                           if m["batches"] else 0.0)
+        if lat:
+            m["latency_ms_p50"] = lat[len(lat) // 2]
+            m["latency_ms_p95"] = lat[min(len(lat) - 1,
+                                          int(len(lat) * 0.95))]
+        return m
+
+    def shutdown(self, timeout: float = 10.0) -> None:
+        self._q.put(_SHUTDOWN)
+        self._worker.join(timeout)
+
+    # -------------------------------------------------------------- worker
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is _SHUTDOWN:
+                return
+            batch = [item]
+            stop = False
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.buckets[-1]:
+                remaining = deadline - time.monotonic()
+                try:
+                    nxt = (self._q.get_nowait() if remaining <= 0
+                           else self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+                if nxt is _SHUTDOWN:
+                    stop = True
+                    break
+                batch.append(nxt)
+            self._run(batch)
+            if stop:
+                return
+
+    def _run(self, batch):
+        n = len(batch)
+        bucket = next(b for b in self.buckets if b >= n)
+        reqs = [r for r, _, _ in batch]
+        pad = reqs[0]
+        padded = reqs + [pad] * (bucket - n)
+        try:
+            images = self.generate_fn(
+                [r.prompt for r in padded],
+                [r.negative_prompt for r in padded],
+                [r.seed for r in padded])
+            images = np.asarray(images)
+            if images.shape[0] != bucket:
+                raise RuntimeError(
+                    f"generate_fn returned {images.shape[0]} images "
+                    f"for bucket {bucket}")
+        except BaseException as e:  # noqa: BLE001 — fail futures, keep serving
+            with self._lock:
+                self._metrics["failed"] += n
+                self._metrics["batches"] += 1
+                self._metrics["batched_requests"] += n
+                self._metrics["padded_slots"] += bucket - n
+            for _, fut, _ in batch:
+                fut._fail(e)
+            return
+        done = time.monotonic()
+        with self._lock:
+            self._metrics["served"] += n
+            self._metrics["batches"] += 1
+            self._metrics["batched_requests"] += n
+            self._metrics["padded_slots"] += bucket - n
+            for _, _, t_enq in batch:
+                self._latencies_ms.append(round((done - t_enq) * 1e3, 3))
+            del self._latencies_ms[:-1000]
+        for i, (_, fut, _) in enumerate(batch):
+            fut._fulfil(images[i])

@@ -62,8 +62,8 @@ def _seg_mask(qseg_ref, kvseg_ref, block_q, block_k):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
-                o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                *, scale, causal, lk_actual, block_q, block_k, n_k, d):
+                qb_ref, kb_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                *, scale, causal, lk_actual, block_q, block_k, n_k, d, h):
     iq = pl.program_id(q_ref.ndim - 2)      # grid (..., n_q, n_k)
     ik = pl.program_id(q_ref.ndim - 1)
 
@@ -75,11 +75,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
 
     q_start = iq * block_q
     k_start = ik * block_k
-    # Skip key blocks that are entirely padding, and (when causal) blocks
-    # strictly above the diagonal.
+    # Skip key blocks that are entirely padding, (when causal) blocks
+    # strictly above the diagonal, and (when packed) blocks whose
+    # segment-id ranges are disjoint (block-sparse packing skip).
     run = k_start < lk_actual
     if causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
+    if qb_ref is not None:
+        run = jnp.logical_and(
+            run, _seg_block_run(qb_ref, kb_ref, pl.program_id(0) // h,
+                                iq, ik))
 
     # fp32 inputs ask for true fp32 math (parity/tests); bf16 rides the MXU.
     mxu_precision = (jax.lax.Precision.HIGHEST
@@ -160,23 +165,42 @@ def _seg_inputs(segment_ids, b, h, lq, lk, block_q, block_k):
     """Pack (q_ids (B,Lq), kv_ids (B,Lk)) into kernel-friendly layouts:
     q → (B, Lq_p, 1), kv → (B, 8, Lk_p) (jax flash-attention layout; the
     8-sublane broadcast makes the kv row-vector a legal VMEM tile).
-    Padding id −1 never matches a valid (≥0) segment id."""
+    Padding id −1 never matches a valid (≥0) segment id.
+
+    Also emits per-block [min, max] id bounds — (B, n_q, 2) / (B, n_k, 2)
+    int32 in SMEM — so the kernels can SKIP (q block, k block) pairs whose
+    id ranges are disjoint (block-sparsity of packed layouts): with sorted
+    packing, only near-diagonal blocks run, making kernel time O(Σ len_i²)
+    instead of O(L²)."""
     q_ids, kv_ids = segment_ids
-    q_ids = jnp.pad(q_ids.astype(jnp.int32)[:, :, None],
-                    ((0, 0), (0, _cdiv(lq, block_q) * block_q - lq), (0, 0)),
+    q_pad = jnp.pad(q_ids.astype(jnp.int32),
+                    ((0, 0), (0, _cdiv(lq, block_q) * block_q - lq)),
                     constant_values=-1)
-    kv_ids = jnp.pad(kv_ids.astype(jnp.int32),
+    kv_pad = jnp.pad(kv_ids.astype(jnp.int32),
                      ((0, 0), (0, _cdiv(lk, block_k) * block_k - lk)),
                      constant_values=-1)
-    kv_ids = jnp.broadcast_to(kv_ids[:, None, :],
-                              (b, 8, kv_ids.shape[1]))
+    q_blocks = q_pad.reshape(b, -1, block_q)
+    kv_blocks = kv_pad.reshape(b, -1, block_k)
+    q_bounds = jnp.stack([q_blocks.min(2), q_blocks.max(2)], axis=-1)
+    kv_bounds = jnp.stack([kv_blocks.min(2), kv_blocks.max(2)], axis=-1)
+    kv_bcast = jnp.broadcast_to(kv_pad[:, None, :], (b, 8, kv_pad.shape[1]))
     specs = [
         pl.BlockSpec((1, block_q, 1),
                      lambda bh, iq, ik, h=h: (bh // h, iq, 0)),
         pl.BlockSpec((1, 8, block_k),
                      lambda bh, iq, ik, h=h: (bh // h, 0, ik)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    return [q_ids, kv_ids], specs
+    return [q_pad[:, :, None], kv_bcast, q_bounds, kv_bounds], specs
+
+
+def _seg_block_run(qb_ref, kb_ref, ib, iq, ik):
+    """Scalar skip test: do this q block's and k block's segment-id ranges
+    overlap at all?  Conservative (range overlap ⊇ any-equal-pair), exact
+    for the sorted packed layouts the wrappers produce."""
+    return jnp.logical_and(qb_ref[ib, iq, 0] <= kb_ref[ib, ik, 1],
+                           kb_ref[ib, ik, 0] <= qb_ref[ib, iq, 1])
 
 
 def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
@@ -233,14 +257,14 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
 
     body = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, lk_actual=lk,
-        block_q=block_q, block_k=block_k, n_k=n_k, d=d)
+        block_q=block_q, block_k=block_k, n_k=n_k, d=d, h=h)
 
     def kernel(*refs):
-        in_refs = list(refs[:3 + has_bias + 2 * has_seg])
-        rest = refs[3 + has_bias + 2 * has_seg:]
+        in_refs = list(refs[:3 + has_bias + 4 * has_seg])
+        rest = refs[3 + has_bias + 4 * has_seg:]
         qkv = in_refs[:3]
         bias_r = in_refs[3] if has_bias else None
-        seg_rs = in_refs[3 + has_bias:] if has_seg else [None, None]
+        seg_rs = in_refs[3 + has_bias:] if has_seg else [None] * 4
         body(*qkv, bias_r, *seg_rs, *rest)
 
     out, lse = pl.pallas_call(
@@ -289,9 +313,9 @@ def _vjp_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                   bias_ref, qseg_ref, kvseg_ref, dq_ref, dbias_ref,
-                   acc_ref,
-                   *, scale, causal, lk_actual, block_q, block_k, n_k):
+                   bias_ref, qseg_ref, kvseg_ref, qb_ref, kb_ref,
+                   dq_ref, dbias_ref, acc_ref,
+                   *, scale, causal, lk_actual, block_q, block_k, n_k, h):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
 
@@ -304,6 +328,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     run = k_start < lk_actual
     if causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
+    if qb_ref is not None:
+        run = jnp.logical_and(
+            run, _seg_block_run(qb_ref, kb_ref, pl.program_id(0) // h,
+                                iq, ik))
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
@@ -350,9 +378,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    bias_ref, qseg_ref, kvseg_ref, dk_ref, dv_ref,
-                    acc_dk, acc_dv,
-                    *, scale, causal, block_q, block_k, n_q):
+                    bias_ref, qseg_ref, kvseg_ref, qb_ref, kb_ref,
+                    dk_ref, dv_ref, acc_dk, acc_dv,
+                    *, scale, causal, block_q, block_k, n_q, h):
     ik = pl.program_id(1)
     iq = pl.program_id(2)
 
@@ -365,10 +393,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     k_start = ik * block_k
     # causal: a q block contributes only if its last row reaches this k block
     run = (q_start + block_q - 1 >= k_start) if causal else True
+    if qb_ref is not None:
+        seg_run = _seg_block_run(qb_ref, kb_ref, pl.program_id(0) // h,
+                                 iq, ik)
+        run = jnp.logical_and(run, seg_run) if causal else seg_run
+    gated = causal or qb_ref is not None
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
-    @pl.when(run if causal else True)
+    @pl.when(run if gated else True)
     def _():
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
@@ -453,17 +486,19 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
                          lambda bh, ik, iq, h=h: (bh // h, iq, 0)),
             pl.BlockSpec((1, 8, block_k),
                          lambda bh, ik, iq, h=h: (bh // h, 0, ik)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
 
     def wrap(body, n_in, dbias_slot):
         """Map the packed pallas refs onto the kernel's explicit
-        (…, bias_ref, qseg, kvseg, outs…, scratch…) signature."""
+        (…, bias_ref, qseg, kvseg, qb, kb, outs…, scratch…) signature."""
         def kernel(*refs):
-            ins = list(refs[:n_in + has_bias + 2 * has_seg])
-            rest = list(refs[n_in + has_bias + 2 * has_seg:])
+            ins = list(refs[:n_in + has_bias + 4 * has_seg])
+            rest = list(refs[n_in + has_bias + 4 * has_seg:])
             base = ins[:n_in]
             bias_r = ins[n_in] if has_bias else None
-            seg_rs = ins[n_in + has_bias:] if has_seg else [None, None]
+            seg_rs = ins[n_in + has_bias:] if has_seg else [None] * 4
             if dbias_slot and not has_bias:
                 rest = [rest[0], None] + rest[1:]   # dq kernel, no dbias
             body(*base, bias_r, *seg_rs, *rest)
@@ -481,7 +516,7 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
     dq_res = pl.pallas_call(
         wrap(functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                                lk_actual=lk, block_q=block_q,
-                               block_k=block_k, n_k=n_k), 6, True),
+                               block_k=block_k, n_k=n_k, h=h), 6, True),
         grid=(b * h, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
@@ -507,7 +542,8 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
 
     dk, dv = pl.pallas_call(
         wrap(functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
-                               block_q=block_q, block_k=block_k, n_q=n_q),
+                               block_q=block_q, block_k=block_k, n_q=n_q,
+                               h=h),
              6, False),
         grid=(b * h, n_k, n_q),
         in_specs=[

@@ -197,6 +197,60 @@ def test_flash_segment_ids_with_bias_and_grads():
     assert (db[0, :, split:, :split] == 0).all()
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_many_segments_block_skip_exact(causal):
+    """8 packed sequences of 96 tokens (boundaries NOT block-aligned at
+    block 128): the block-sparse segment skip must be invisible —
+    fwd + grads identical to the additive-mask oracle."""
+    n_seq, seq_len, d = 8, 96, 32
+    l = n_seq * seq_len
+    q, k, v = (_rand((1, 2, l, d), 70 + i) for i in range(3))
+    seg = jnp.repeat(jnp.arange(n_seq, dtype=jnp.int32), seq_len)[None]
+    cot = _rand(q.shape, 74)
+
+    def f(q, k, v):
+        return (flash_attention(q, k, v, segment_ids=(seg, seg),
+                                causal=causal, block_q=128, block_k=128,
+                                interpret=INTERPRET) * cot).sum()
+
+    def f_ref(q, k, v):
+        return (_xla_attention(q, k, v, _seg_bias(seg, seg), causal,
+                               d ** -0.5) * cot).sum()
+
+    got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_seg_block_bounds_and_skip_logic():
+    """The skip predicate's inputs: per-block [min,max] id bounds from
+    _seg_inputs, and range-overlap semantics of _seg_block_run."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        _seg_block_run, _seg_inputs)
+
+    # 2 blocks of 128: ids 0…0|0…1 — bounds [[0,0],[0,1]]; 120 real kv
+    # tokens then 8 pad (−1): kv block1 bounds [[−1,1]]
+    q_ids = jnp.concatenate([jnp.zeros(192, jnp.int32),
+                             jnp.ones(64, jnp.int32)])[None]
+    kv_ids = q_ids[:, :248]
+    args, specs = _seg_inputs((q_ids, kv_ids), b=1, h=2, lq=256, lk=248,
+                              block_q=128, block_k=128)
+    q_bounds, kv_bounds = args[2], args[3]
+    assert q_bounds.shape == (1, 2, 2) and kv_bounds.shape == (1, 2, 2)
+    np.testing.assert_array_equal(np.asarray(q_bounds),
+                                  [[[0, 0], [0, 1]]])
+    np.testing.assert_array_equal(np.asarray(kv_bounds),
+                                  [[[0, 0], [-1, 1]]])
+    # disjoint ranges skip; overlapping ranges run
+    qb = jnp.asarray([[[0, 0], [2, 3]]])
+    kb = jnp.asarray([[[1, 1], [3, 5]]])
+    assert not bool(_seg_block_run(qb, kb, 0, 0, 0))   # [0,0] vs [1,1]
+    assert bool(_seg_block_run(qb, kb, 0, 1, 1))       # [2,3] vs [3,5]
+    assert not bool(_seg_block_run(qb, kb, 0, 0, 1))   # [0,0] vs [3,5]
+
+
 def test_flash_ragged_via_segment_ids():
     """Per-example ragged lengths: pad tokens get id −1 (matches nothing
     real); valid region ≡ unpadded attention."""

@@ -15,37 +15,13 @@ from __future__ import annotations
 import argparse
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser(prog="serve")
-    ap.add_argument("--ckpt-dir", default=None,
-                    help="reference model_sd1 layout; omit for random-weight"
-                         " smoke mode")
-    ap.add_argument("--dtype", default="bf16")
-    ap.add_argument("--sampler", default="k_lms",
-                    choices=["k_lms", "k_euler", "k_euler_ancestral",
-                             "dpmpp_2m"])
-    ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--cfg-scale", type=float, default=7.5)
-    ap.add_argument("--height", type=int, default=512)
-    ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--tp", type=int, default=1)
-    ap.add_argument("--buckets", default="1,2,4,8",
-                    help="batch-size ladder; each bucket compiles once")
-    ap.add_argument("--max-wait-ms", type=float, default=25.0)
-    ap.add_argument("--max-queue", type=int, default=256)
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8000)
-    ap.add_argument("--no-warmup", action="store_true",
-                    help="skip pre-compiling every bucket before binding")
-    args = ap.parse_args(argv)
-
+def _build_sd1(args, mesh):
+    """Compile-once SD1Generator behind a (prompts, negs, seeds) adapter."""
     import os
 
     import jax
 
     from ..pipelines.sd1 import SD1Generator, SD1Models
-    from ..serving import (DynamicBatcher, make_server,
-                           serve_forever_in_thread)
 
     tokenizer = None
     if args.ckpt_dir:
@@ -77,12 +53,6 @@ def main(argv=None):
         models = SD1Models.initialize(jax.random.key(0), dtype=args.dtype,
                                       height=args.height, width=args.width)
 
-    mesh = None
-    if args.tp > 1:
-        from ..parallel import build_mesh
-
-        mesh = build_mesh({"model": args.tp}, jax.devices()[:args.tp])
-
     gen = SD1Generator(models, tokenizer=tokenizer, sampler=args.sampler,
                        n_inference_steps=args.steps,
                        cfg_scale=args.cfg_scale, height=args.height,
@@ -91,6 +61,118 @@ def main(argv=None):
     def generate_fn(prompts, negative_prompts, seeds):
         return gen(prompts, uncond_prompts=negative_prompts,
                    per_sample_seeds=list(seeds))
+
+    return generate_fn
+
+
+def _build_sd3(args, mesh):
+    """SD3Inferencer behind the same adapter: one text-encode + one batched
+    CFG denoise per bucket call (gen_images_text). The flow sampler
+    retraces per call but the persistent XLA cache dedupes compiles per
+    bucket shape."""
+    import numpy as np
+
+    import jax
+
+    from ..pipelines.sd3 import SD3Inferencer, SD3Models
+
+    if args.ckpt:
+        models = SD3Models.from_checkpoints(
+            args.ckpt, clip_l_path=args.clip_l, clip_g_path=args.clip_g,
+            t5_path=args.t5, dtype=args.dtype)
+    else:
+        print("[serve] no --ckpt: scaled-down random weights "
+              "(smoke-test mode)")
+        models = SD3Models.initialize(jax.random.key(0), depth=4,
+                                      with_t5=False, dtype=args.dtype)
+
+    tokenizer = None
+    if args.vocab and args.merges:
+        from ..io.spm_tokenizer import SD3Tokenizer, T5XXLTokenizer
+        from ..io.tokenizer import CLIPTokenizer
+
+        clip_tok = CLIPTokenizer.from_files(args.vocab, args.merges)
+        if args.spm:
+            t5_tok = T5XXLTokenizer.from_file(args.spm)
+        else:
+            from ..io.spm_tokenizer import (CONTROL, UNKNOWN,
+                                            SentencePieceUnigram)
+
+            t5_tok = T5XXLTokenizer(SentencePieceUnigram(
+                [("<pad>", 0.0, CONTROL), ("</s>", 0.0, CONTROL),
+                 ("<unk>", 0.0, UNKNOWN)]))
+        tokenizer = SD3Tokenizer(clip_tok, t5_tok)
+
+    inf = SD3Inferencer(models, shift=args.shift, tokenizer=tokenizer,
+                        mesh=mesh)
+    kw = dict(width=args.width, height=args.height, steps=args.steps,
+              cfg_scale=args.cfg_scale)
+
+    if tokenizer is None:
+        print("[serve] no --vocab/--merges: zero-token smoke conditioning")
+
+        def generate_fn(prompts, negative_prompts, seeds):
+            toks = np.zeros((len(prompts), 77), np.int32)
+            return inf.gen_image(toks, per_sample_seeds=list(seeds), **kw)
+    else:
+        def generate_fn(prompts, negative_prompts, seeds):
+            return inf.gen_images_text(list(prompts),
+                                       list(negative_prompts),
+                                       per_sample_seeds=list(seeds), **kw)
+
+    return generate_fn
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="serve")
+    ap.add_argument("--model", default="sd1", choices=["sd1", "sd3"])
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="sd1: reference model_sd1 layout; omit for "
+                         "random-weight smoke mode")
+    ap.add_argument("--ckpt", default=None,
+                    help="sd3: .safetensors path (shape-sniffed config)")
+    ap.add_argument("--clip-l", default=None, help="sd3 CLIP-L safetensors")
+    ap.add_argument("--clip-g", default=None, help="sd3 CLIP-G safetensors")
+    ap.add_argument("--t5", default=None, help="sd3 T5-XXL safetensors")
+    ap.add_argument("--vocab", default=None, help="sd3 CLIP vocab.json")
+    ap.add_argument("--merges", default=None, help="sd3 CLIP merges.txt")
+    ap.add_argument("--spm", default=None, help="sd3 T5 spiece.model")
+    ap.add_argument("--shift", type=float, default=3.0,
+                    help="sd3 flow-sigma shift")
+    ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--sampler", default="k_lms",
+                    choices=["k_lms", "k_euler", "k_euler_ancestral",
+                             "dpmpp_2m"])
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cfg-scale", type=float, default=7.5)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--buckets", default="1,2,4,8",
+                    help="batch-size ladder; each bucket compiles once")
+    ap.add_argument("--max-wait-ms", type=float, default=25.0)
+    ap.add_argument("--max-queue", type=int, default=256)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip pre-compiling every bucket before binding")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from ..serving import (DynamicBatcher, make_server,
+                           serve_forever_in_thread)
+
+    mesh = None
+    if args.tp > 1:
+        from ..parallel import build_mesh
+
+        mesh = build_mesh({"model": args.tp}, jax.devices()[:args.tp])
+
+    if args.model == "sd3":
+        generate_fn = _build_sd3(args, mesh)
+    else:
+        generate_fn = _build_sd1(args, mesh)
 
     buckets = sorted({int(b) for b in args.buckets.split(",")})
     batcher = DynamicBatcher(generate_fn, buckets=buckets,

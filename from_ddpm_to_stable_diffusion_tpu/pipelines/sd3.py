@@ -272,17 +272,33 @@ class SD3Inferencer:
     def denoise(self, latent, context, pooled, neg_context, neg_pooled,
                 steps: int = 50, cfg_scale: float = 5.0,
                 seed: int = 1, denoise_strength: float = 1.0,
-                keep_trajectory: bool = False):
+                keep_trajectory: bool = False,
+                per_sample_seeds=None):
         """Noise + rectified-flow Euler scan with batched CFG. With
         ``keep_trajectory`` also returns every intermediate latent, like
-        the reference sampler (utils.py:48-49)."""
+        the reference sampler (utils.py:48-49).
+
+        ``per_sample_seeds`` draws each sample's starting noise from its
+        OWN key so a request batched by the serving layer reproduces
+        identically at any batch size (flow Euler is deterministic after
+        the initial noise)."""
         from ..ops.schedules import sd3_sigma_schedule
 
         m = self.models
         sigmas = sd3_sigma_schedule(steps, self.shift)
         start = int(steps * (1.0 - denoise_strength))
         sigmas = sigmas[start:]
-        noise = jax.random.normal(jax.random.key(seed), latent.shape)
+        if per_sample_seeds is not None:
+            if len(per_sample_seeds) != latent.shape[0]:
+                raise ValueError("per_sample_seeds must match the batch")
+            filled = np.asarray(
+                [(s if s is not None else seed * 100003 + 17 * i + 1)
+                 & 0xFFFFFFFF for i, s in enumerate(per_sample_seeds)],
+                np.uint32)
+            noise = jax.vmap(lambda s: jax.random.normal(
+                jax.random.key(s), latent.shape[1:]))(jnp.asarray(filled))
+        else:
+            noise = jax.random.normal(jax.random.key(seed), latent.shape)
         # σ·noise + (1−σ)·latent (ModelSamplingDiscreteFlow.noise_scaling)
         x = noise_scaling(float(sigmas[0]), noise, latent)
 
@@ -330,7 +346,8 @@ class SD3Inferencer:
                   offload_text_encoders: bool = False,
                   keep_trajectory: bool = False,
                   clip_g_tokens: Optional[np.ndarray] = None,
-                  neg_clip_g_tokens: Optional[np.ndarray] = None):
+                  neg_clip_g_tokens: Optional[np.ndarray] = None,
+                  per_sample_seeds=None):
         """Token-id entry point. ``offload_text_encoders`` frees the CLIP/T5
         param groups once conditioning is on device (the 16GB single-chip
         plan — ref sd3_infer.py:324-375); the inferencer is single-shot
@@ -354,10 +371,14 @@ class SD3Inferencer:
                                      jax.random.key(seed + 1))
         else:
             latent = self.get_empty_latent(width, height)
+            b = clip_tokens.shape[0]
+            if latent.shape[0] != b:   # batched prompts share the blank
+                latent = jnp.broadcast_to(latent, (b,) + latent.shape[1:])
         out = self.denoise(latent, context, pooled, neg_context,
                            neg_pooled, steps, cfg_scale, seed,
                            denoise_strength,
-                           keep_trajectory=keep_trajectory)
+                           keep_trajectory=keep_trajectory,
+                           per_sample_seeds=per_sample_seeds)
         if keep_trajectory:
             latent, traj = out
             previews = np.asarray(
@@ -377,3 +398,26 @@ class SD3Inferencer:
             l_ids, t5_tokens=t5_ids, neg_clip_tokens=nl_ids,
             neg_t5_tokens=nt5_ids, clip_g_tokens=g_ids,
             neg_clip_g_tokens=ng_ids, **kwargs)
+
+    def gen_images_text(self, prompts, neg_prompts=None,
+                        per_sample_seeds=None, **kwargs) -> np.ndarray:
+        """Batched prompt-string entry point (serving): one text-encode +
+        one denoise over the whole batch.  ``per_sample_seeds`` (one per
+        prompt, ``None`` entries derive from ``seed``) keeps each request's
+        image identical under any batch composition."""
+        neg_prompts = list(neg_prompts or [""] * len(prompts))
+        if len(neg_prompts) != len(prompts):
+            raise ValueError("neg_prompts must match len(prompts)")
+
+        def stack(texts):
+            ids = [self.tokenize(t) for t in texts]
+            return tuple(np.concatenate([t[i] for t in ids])
+                         for i in range(3))
+
+        l_ids, g_ids, t5_ids = stack(prompts)
+        nl_ids, ng_ids, nt5_ids = stack(neg_prompts)
+        return self.gen_image(
+            l_ids, t5_tokens=t5_ids, neg_clip_tokens=nl_ids,
+            neg_t5_tokens=nt5_ids, clip_g_tokens=g_ids,
+            neg_clip_g_tokens=ng_ids, per_sample_seeds=per_sample_seeds,
+            **kwargs)

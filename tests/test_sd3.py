@@ -214,6 +214,26 @@ def test_sd3_prompt_to_image_text_path():
     np.testing.assert_array_equal(img, img2)
 
 
+def test_sd3_batched_prompts_per_sample_seeds():
+    """Serving contract: gen_images_text batches N prompts into ONE
+    text-encode + denoise, and a request's image is identical whether it
+    rides alone or in a batch (per-sample noise keys)."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    inf = SD3Inferencer(_tiny_sd3_models(), shift=3.0,
+                        tokenizer=_tiny_sd3_tokenizer())
+    solo = inf.gen_images_text(["a cat"], per_sample_seeds=[5],
+                               width=64, height=64, steps=2)
+    pair = inf.gen_images_text(["a cat", "cat a"], per_sample_seeds=[5, 9],
+                               width=64, height=64, steps=2)
+    assert pair.shape == (2, 64, 64, 3) and pair.dtype == np.uint8
+    # batch-1 vs batch-2 are different XLA programs: allow the uint8
+    # quantization-boundary pixel (same tolerance as the SD1 serving test)
+    np.testing.assert_allclose(solo[0].astype(np.int16),
+                               pair[0].astype(np.int16), atol=1)
+    assert not np.array_equal(pair[0], pair[1])
+
+
 def test_sd3_empty_negative_goes_through_t5():
     """The empty negative prompt must be ENCODED by T5 (non-zero
     embeddings), not zero-filled (ref sd3_infer.py:306-309)."""

@@ -59,11 +59,15 @@ def dot_product_attention(
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
     segment_ids=None,
+    seg_max_kv_blocks: Optional[int] = None,
 ) -> jax.Array:
     """Scaled dot-product attention over (B, H, L, D) tensors.
 
     ``segment_ids``: optional (q_ids (B, Lq), kv_ids (B, Lk)) packed-
     sequence masking (same-segment pairs only; see flash_attention).
+    ``seg_max_kv_blocks``: static per-q-block live-range bound for packed
+    layouts — truncates the flash kernel's k grid (see flash_attention);
+    a pure perf hint, ignored on the XLA path.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -73,7 +77,8 @@ def dot_product_attention(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias=bias, segment_ids=segment_ids,
-                               causal=causal, scale=scale)
+                               causal=causal, scale=scale,
+                               seg_max_kv_blocks=seg_max_kv_blocks)
     if segment_ids is not None:
         same = (segment_ids[0][:, None, :, None]
                 == segment_ids[1][:, None, None, :])

@@ -62,23 +62,34 @@ def _seg_mask(qseg_ref, kvseg_ref, block_q, block_k):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
-                qb_ref, kb_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                *, scale, causal, lk_actual, block_q, block_k, n_k, d, h):
+                qb_ref, kb_ref, lo_ref, hi_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref,
+                *, scale, causal, lk_actual, block_q, block_k, n_k, d, h,
+                remap):
     iq = pl.program_id(q_ref.ndim - 2)      # grid (..., n_q, n_k)
-    ik = pl.program_id(q_ref.ndim - 1)
+    ik_grid = pl.program_id(q_ref.ndim - 1)
 
-    @pl.when(ik == 0)
+    @pl.when(ik_grid == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q_start = iq * block_q
-    k_start = ik * block_k
     # Skip key blocks that are entirely padding, (when causal) blocks
     # strictly above the diagonal, and (when packed) blocks whose
     # segment-id ranges are disjoint (block-sparse packing skip).
-    run = k_start < lk_actual
+    # Under ``remap`` (static seg_max_kv_blocks hint) the truncated k grid
+    # walks each q block's live range [lo, hi] instead of [0, n_k): the
+    # REAL k-block index is lo+ik (clamped for the DMA), and steps past hi
+    # are gated off so the clamped re-fetch of block hi never double-counts.
+    ik, in_range = ik_grid, True
+    if remap:
+        ib = pl.program_id(0) // h
+        ik = lo_ref[ib, iq] + ik_grid
+        in_range = ik <= hi_ref[ib, iq]
+    q_start = iq * block_q
+    k_start = ik * block_k
+    run = jnp.logical_and(in_range, k_start < lk_actual)
     if causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
     if qb_ref is not None:
@@ -128,7 +139,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
             precision=mxu_precision)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
-    @pl.when(ik == n_k - 1)
+    @pl.when(ik_grid == n_k - 1)
     def _finalize():
         l = l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
@@ -203,8 +214,46 @@ def _seg_block_run(qb_ref, kb_ref, ib, iq, ik):
                            kb_ref[ib, ik, 0] <= qb_ref[ib, iq, 1])
 
 
+def _seg_block_ranges(q_bounds, kv_bounds):
+    """First/last overlapping block index along the OTHER axis, per block:
+    (q_lo, q_hi) each (B, n_q) over k blocks, and (k_lo, k_hi) each
+    (B, n_k) over q blocks.  Drives the scalar-prefetch index maps that
+    clamp skipped blocks' DMA onto the nearest live block (consecutive
+    identical block indices → Mosaic elides the copy), so packed layouts
+    skip the HBM traffic as well as the MXU work.  Blocks with no overlap
+    at all get [0, 0] — their compute is still gated off by
+    _seg_block_run, the spurious fetch of block 0 is harmless."""
+    overlap = jnp.logical_and(
+        q_bounds[:, :, None, 0] <= kv_bounds[:, None, :, 1],
+        kv_bounds[:, None, :, 0] <= q_bounds[:, :, None, 1])  # (B, n_q, n_k)
+
+    def ranges(ov):           # first/last True along the last axis
+        n = ov.shape[-1]
+        any_ = ov.any(-1)
+        lo = jnp.where(any_, jnp.argmax(ov, -1), 0)
+        hi = jnp.where(any_, n - 1 - jnp.argmax(ov[..., ::-1], -1), 0)
+        return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+    q_lo, q_hi = ranges(overlap)
+    k_lo, k_hi = ranges(jnp.swapaxes(overlap, 1, 2))
+    return q_lo, q_hi, k_lo, k_hi
+
+
+def _check_seg_hint(q_lo, q_hi, grid_extent, segment_ids):
+    """When the segment ids are concrete (not traced), verify the static
+    seg_max_kv_blocks hint actually covers every block's live range —
+    an undersized hint would silently drop attention mass."""
+    if any(isinstance(x, jax.core.Tracer) for x in (q_lo, q_hi)):
+        return
+    needed = int(jnp.max(q_hi - q_lo + 1))
+    if grid_extent < needed:
+        raise ValueError(
+            f"seg_max_kv_blocks={grid_extent} < {needed} required by this "
+            "packing layout (max overlapping k blocks per q block)")
+
+
 def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
-               interpret=False):
+               interpret=False, seg_max_kv_blocks=None):
     """Returns (out (B,H,Lq,D), lse (B,H,Lq) fp32).
 
     head_dim stays UNPADDED in HBM: Mosaic lane-pads the (block, d) tiles
@@ -227,7 +276,16 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
     vp = _pad_to(v.reshape(b * h, lk, d), 1, block_k)
     lq_p, lk_p = qp.shape[1], kp.shape[1]
     n_q, n_k = lq_p // block_q, lk_p // block_k
-    grid = (b * h, n_q, n_k)
+    grid_nk = n_k
+    remap = False
+    if has_seg and seg_max_kv_blocks is not None:
+        if has_bias:
+            raise ValueError(
+                "seg_max_kv_blocks with bias is unsupported (dbias tiles "
+                "outside the truncated grid would stay unwritten)")
+        grid_nk = min(n_k, int(seg_max_kv_blocks))
+        remap = grid_nk < n_k
+    grid = (b * h, n_q, grid_nk)
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
         pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
@@ -243,89 +301,168 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
     ]
 
     args = [qp, kp, vp]
+    scalar_args = []
+    if has_seg:
+        # Scalar-prefetch DMA skip: clamp each (q block)'s k/v (and bias /
+        # kv-id) fetches onto its overlapping k-block range [lo, hi] —
+        # consecutive identical block indices elide the copy, so skipped
+        # blocks cost neither MXU nor HBM traffic.  Compute outside the
+        # range is gated off by _seg_block_run against the TRUE (unclamped)
+        # bounds, so clamped garbage blocks are never read.  Under
+        # ``remap`` the grid itself is truncated to seg_max_kv_blocks steps
+        # and step ik fetches REAL block min(lo+ik, hi) — grid time drops
+        # from O(n_q·n_k) to O(n_q·hint).
+        if remap:
+            def _kv_blk(bh, iq, ik, lo_ref, hi_ref, h=h):
+                return jnp.minimum(lo_ref[bh // h, iq] + ik,
+                                   hi_ref[bh // h, iq])
+        else:
+            def _kv_blk(bh, iq, ik, lo_ref, hi_ref, h=h):
+                return jnp.clip(ik, lo_ref[bh // h, iq],
+                                hi_ref[bh // h, iq])
+
+        in_specs = [
+            pl.BlockSpec((1, block_q, d),
+                         lambda bh, iq, ik, lo, hi: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, iq, ik, lo, hi:
+                         (bh, _kv_blk(bh, iq, ik, lo, hi), 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, iq, ik, lo, hi:
+                         (bh, _kv_blk(bh, iq, ik, lo, hi), 0)),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, block_q, d),
+                         lambda bh, iq, ik, lo, hi: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda bh, iq, ik, lo, hi: (bh, iq, 0)),
+        ]
     if has_bias:
         bias_b = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
         bias_b = _pad_to(_pad_to(bias_b, 1, block_q), 2, block_k)
-        in_specs.append(pl.BlockSpec((1, block_q, block_k),
-                                     lambda bh, iq, ik: (bh, iq, ik)))
+        if has_seg:
+            in_specs.append(pl.BlockSpec(
+                (1, block_q, block_k),
+                lambda bh, iq, ik, lo, hi:
+                (bh, iq, _kv_blk(bh, iq, ik, lo, hi))))
+        else:
+            in_specs.append(pl.BlockSpec((1, block_q, block_k),
+                                         lambda bh, iq, ik: (bh, iq, ik)))
         args.append(bias_b)
     if has_seg:
-        seg_args, seg_specs = _seg_inputs(segment_ids, b, h, lq, lk,
-                                          block_q, block_k)
+        seg_args, _ = _seg_inputs(segment_ids, b, h, lq, lk,
+                                  block_q, block_k)
         args += seg_args
-        in_specs += seg_specs
+        in_specs += [
+            pl.BlockSpec((1, block_q, 1),
+                         lambda bh, iq, ik, lo, hi, h=h: (bh // h, iq, 0)),
+            pl.BlockSpec((1, 8, block_k),
+                         lambda bh, iq, ik, lo, hi, h=h:
+                         (bh // h, 0, _kv_blk(bh, iq, ik, lo, hi))),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        q_lo, q_hi, _, _ = _seg_block_ranges(seg_args[2], seg_args[3])
+        if remap:
+            _check_seg_hint(q_lo, q_hi, grid_nk, segment_ids)
+        scalar_args = [q_lo, q_hi]
 
     body = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, lk_actual=lk,
-        block_q=block_q, block_k=block_k, n_k=n_k, d=d, h=h)
+        block_q=block_q, block_k=block_k, n_k=grid_nk, d=d, h=h,
+        remap=remap)
 
     def kernel(*refs):
+        sc = refs[:2 * has_seg]             # lo/hi scalar refs (seg only)
+        refs = refs[2 * has_seg:]
         in_refs = list(refs[:3 + has_bias + 4 * has_seg])
         rest = refs[3 + has_bias + 4 * has_seg:]
         qkv = in_refs[:3]
         bias_r = in_refs[3] if has_bias else None
         seg_rs = in_refs[3 + has_bias:] if has_seg else [None] * 4
-        body(*qkv, bias_r, *seg_rs, *rest)
+        lo_hi = sc if has_seg else (None, None)
+        body(*qkv, bias_r, *seg_rs, *lo_hi, *rest)
 
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*args)
+    scratch = [
+        pltpu.VMEM((block_q, d), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+    ]
+    if has_seg:
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+                out_specs=out_specs, scratch_shapes=scratch),
+            out_shape=out_shape, interpret=interpret)
+    else:
+        call = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, scratch_shapes=scratch,
+            interpret=interpret)
+    out, lse = call(*scalar_args, *args)
     out = out[:, :lq].reshape(b, h, lq, d)
     lse = lse[:, :lq, 0].reshape(b, h, lq)
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def flash_attention(q, k, v, bias=None, segment_ids=None,
                     causal: bool = False,
                     scale: Optional[float] = None,
                     block_q: int = 1024, block_k: int = 1024,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    seg_max_kv_blocks: Optional[int] = None):
     """Flash attention over (B, H, L, D); returns (B, H, Lq, D).
 
     ``segment_ids``: optional (q_ids (B, Lq), kv_ids (B, Lk)) int pair for
     packed sequences — attention is masked to same-segment pairs, composing
     with ``causal`` and ``bias``.  Per-example ragged lengths are the
     special case "pad tokens get an id no real token uses".
+
+    ``seg_max_kv_blocks``: STATIC upper bound on how many k blocks any one
+    q block's segments can overlap (for sorted packing of sequences up to
+    ``max_len``: ceil(max_len/block_k) + 1).  Truncates the kernel grid to
+    that many k steps per q block, making packed attention time
+    O(L·max_len) instead of O(L²).  Validated against the actual layout
+    when segment_ids are concrete; under jit the caller's bound is
+    trusted — an undersized hint drops attention mass.  Incompatible with
+    ``bias``.
     """
     out, _ = _flash_fwd(q, k, v, bias, segment_ids, causal,
                         q.shape[-1] ** -0.5 if scale is None else scale,
-                        block_q, block_k, interpret)
+                        block_q, block_k, interpret, seg_max_kv_blocks)
     return out
 
 
 def _vjp_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
-             interpret):
+             interpret, seg_max_kv_blocks):
     out, lse = _flash_fwd(q, k, v, bias, segment_ids, causal,
                           q.shape[-1] ** -0.5 if scale is None else scale,
-                          block_q, block_k, interpret)
+                          block_q, block_k, interpret, seg_max_kv_blocks)
     return out, (q, k, v, bias, segment_ids, out, lse)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                    bias_ref, qseg_ref, kvseg_ref, qb_ref, kb_ref,
-                   dq_ref, dbias_ref, acc_ref,
-                   *, scale, causal, lk_actual, block_q, block_k, n_k, h):
+                   lo_ref, hi_ref, dq_ref, dbias_ref, acc_ref,
+                   *, scale, causal, lk_actual, block_q, block_k, n_k, h,
+                   remap):
     iq = pl.program_id(1)
-    ik = pl.program_id(2)
+    ik_grid = pl.program_id(2)
 
-    @pl.when(ik == 0)
+    @pl.when(ik_grid == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    ik, in_range = ik_grid, True
+    if remap:   # truncated k grid walks [lo, hi] (see _fwd_kernel)
+        ib = pl.program_id(0) // h
+        ik = lo_ref[ib, iq] + ik_grid
+        in_range = ik <= hi_ref[ib, iq]
     q_start = iq * block_q
     k_start = ik * block_k
-    run = k_start < lk_actual
+    run = jnp.logical_and(in_range, k_start < lk_actual)
     if causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
     if qb_ref is not None:
@@ -372,23 +509,28 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         def _zero_skipped_dbias():
             dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
 
-    @pl.when(ik == n_k - 1)
+    @pl.when(ik_grid == n_k - 1)
     def _fin():
         dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                     bias_ref, qseg_ref, kvseg_ref, qb_ref, kb_ref,
-                    dk_ref, dv_ref, acc_dk, acc_dv,
-                    *, scale, causal, block_q, block_k, n_q, h):
+                    lo_ref, hi_ref, dk_ref, dv_ref, acc_dk, acc_dv,
+                    *, scale, causal, block_q, block_k, n_q, h, remap):
     ik = pl.program_id(1)
-    iq = pl.program_id(2)
+    iq_grid = pl.program_id(2)
 
-    @pl.when(iq == 0)
+    @pl.when(iq_grid == 0)
     def _init():
         acc_dk[:] = jnp.zeros_like(acc_dk)
         acc_dv[:] = jnp.zeros_like(acc_dv)
 
+    iq, in_range = iq_grid, True
+    if remap:   # truncated q grid walks this k block's live range [lo, hi]
+        ib = pl.program_id(0) // h
+        iq = lo_ref[ib, ik] + iq_grid
+        in_range = iq <= hi_ref[ib, ik]
     q_start = iq * block_q
     k_start = ik * block_k
     # causal: a q block contributes only if its last row reaches this k block
@@ -397,6 +539,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         seg_run = _seg_block_run(qb_ref, kb_ref, pl.program_id(0) // h,
                                  iq, ik)
         run = jnp.logical_and(run, seg_run) if causal else seg_run
+    if remap:
+        run = jnp.logical_and(run, in_range)
     gated = causal or qb_ref is not None
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -432,14 +576,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
-    @pl.when(iq == n_q - 1)
+    @pl.when(iq_grid == n_q - 1)
     def _fin():
         dk_ref[0] = (acc_dk[:] * scale).astype(dk_ref.dtype)
         dv_ref[0] = acc_dv[:].astype(dv_ref.dtype)
 
 
 def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
-                      scale, block_q, block_k, interpret):
+                      scale, block_q, block_k, interpret,
+                      seg_max_kv_blocks=None):
     """Pallas two-kernel flash backward; with ``bias`` the dq kernel also
     emits dbias tiles (dlogits), reduced over broadcast dims here."""
     b, h, lq, d_orig = q.shape
@@ -465,6 +610,32 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
                     constant_values=1e30)  # padded rows -> p = 0
     delta_p = _pad_to(delta, 1, block_q)
 
+    remap = False
+    grid_nk_dq, grid_nq_dkv = n_k, n_q
+    if has_seg and seg_max_kv_blocks is not None:
+        if has_bias:
+            raise ValueError(
+                "seg_max_kv_blocks with bias is unsupported (dbias tiles "
+                "outside the truncated grid would stay unwritten)")
+        grid_nk_dq = min(n_k, int(seg_max_kv_blocks))
+        grid_nq_dkv = min(n_q, int(seg_max_kv_blocks))
+        remap = grid_nk_dq < n_k or grid_nq_dkv < n_q
+
+    def sig(f):
+        """Index maps take two trailing scalar-ref args in the seg
+        (prefetch) case; most maps ignore them."""
+        return (lambda b_, i1, i2, lo, hi: f(b_, i1, i2)) if has_seg else f
+
+    if has_seg:
+        if remap:
+            def _other_blk(b_, i_self, i_other, lo_ref, hi_ref, h=h):
+                return jnp.minimum(lo_ref[b_ // h, i_self] + i_other,
+                                   hi_ref[b_ // h, i_self])
+        else:
+            def _other_blk(b_, i_self, i_other, lo_ref, hi_ref, h=h):
+                return jnp.clip(i_other, lo_ref[b_ // h, i_self],
+                                hi_ref[b_ // h, i_self])
+
     extra_args = []
     extra_dq_specs = []
     extra_dkv_specs = []
@@ -472,65 +643,112 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
         bias_b = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
         bias_b = _pad_to(_pad_to(bias_b, 1, block_q), 2, block_k)
         extra_args.append(bias_b)
-        extra_dq_specs.append(pl.BlockSpec(
-            (1, block_q, block_k), lambda bh, iq, ik: (bh, iq, ik)))
-        extra_dkv_specs.append(pl.BlockSpec(
-            (1, block_q, block_k), lambda bh, ik, iq: (bh, iq, ik)))
+        if has_seg:
+            extra_dq_specs.append(pl.BlockSpec(
+                (1, block_q, block_k),
+                lambda bh, iq, ik, lo, hi:
+                (bh, iq, _other_blk(bh, iq, ik, lo, hi))))
+            extra_dkv_specs.append(pl.BlockSpec(
+                (1, block_q, block_k),
+                lambda bh, ik, iq, lo, hi:
+                (bh, _other_blk(bh, ik, iq, lo, hi), ik)))
+        else:
+            extra_dq_specs.append(pl.BlockSpec(
+                (1, block_q, block_k), lambda bh, iq, ik: (bh, iq, ik)))
+            extra_dkv_specs.append(pl.BlockSpec(
+                (1, block_q, block_k), lambda bh, ik, iq: (bh, iq, ik)))
+    scalar_dq, scalar_dkv = [], []
     if has_seg:
-        seg_args, seg_specs_dq = _seg_inputs(segment_ids, b, h, lq, lk,
-                                             block_q, block_k)
+        seg_args, _ = _seg_inputs(segment_ids, b, h, lq, lk,
+                                  block_q, block_k)
         extra_args += seg_args
-        extra_dq_specs += seg_specs_dq
+        q_lo, q_hi, k_lo, k_hi = _seg_block_ranges(seg_args[2], seg_args[3])
+        if remap:
+            _check_seg_hint(q_lo, q_hi, grid_nk_dq, segment_ids)
+            _check_seg_hint(k_lo, k_hi, grid_nq_dkv, segment_ids)
+        scalar_dq, scalar_dkv = [q_lo, q_hi], [k_lo, k_hi]
+        extra_dq_specs += [
+            pl.BlockSpec((1, block_q, 1),
+                         lambda bh, iq, ik, lo, hi, h=h: (bh // h, iq, 0)),
+            pl.BlockSpec((1, 8, block_k),
+                         lambda bh, iq, ik, lo, hi, h=h:
+                         (bh // h, 0, _other_blk(bh, iq, ik, lo, hi))),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
         extra_dkv_specs += [
             pl.BlockSpec((1, block_q, 1),
-                         lambda bh, ik, iq, h=h: (bh // h, iq, 0)),
+                         lambda bh, ik, iq, lo, hi, h=h:
+                         (bh // h, _other_blk(bh, ik, iq, lo, hi), 0)),
             pl.BlockSpec((1, 8, block_k),
-                         lambda bh, ik, iq, h=h: (bh // h, 0, ik)),
+                         lambda bh, ik, iq, lo, hi, h=h: (bh // h, 0, ik)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
 
     def wrap(body, n_in, dbias_slot):
         """Map the packed pallas refs onto the kernel's explicit
-        (…, bias_ref, qseg, kvseg, qb, kb, outs…, scratch…) signature."""
+        (…, bias_ref, qseg, kvseg, qb, kb, lo, hi, outs…, scratch…)
+        signature."""
         def kernel(*refs):
+            sc = refs[:2 * has_seg]
+            refs = refs[2 * has_seg:]
             ins = list(refs[:n_in + has_bias + 4 * has_seg])
             rest = list(refs[n_in + has_bias + 4 * has_seg:])
             base = ins[:n_in]
             bias_r = ins[n_in] if has_bias else None
             seg_rs = ins[n_in + has_bias:] if has_seg else [None] * 4
+            lo_hi = sc if has_seg else (None, None)
             if dbias_slot and not has_bias:
                 rest = [rest[0], None] + rest[1:]   # dq kernel, no dbias
-            body(*base, bias_r, *seg_rs, *rest)
+            body(*base, bias_r, *seg_rs, *lo_hi, *rest)
         return kernel
 
+    def call(kernel, grid, in_specs, out_specs, out_shape, scratch):
+        if has_seg:
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+                    out_specs=out_specs, scratch_shapes=scratch),
+                out_shape=out_shape, interpret=interpret)
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, scratch_shapes=scratch,
+            interpret=interpret)
+
     dq_out_specs = [pl.BlockSpec((1, block_q, d),
-                                 lambda bh, iq, ik: (bh, iq, 0))]
+                                 sig(lambda bh, iq, ik: (bh, iq, 0)))]
     dq_out_shape = [jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype)]
     if has_bias:
         dq_out_specs.append(pl.BlockSpec(
-            (1, block_q, block_k), lambda bh, iq, ik: (bh, iq, ik)))
+            (1, block_q, block_k), sig(lambda bh, iq, ik: (bh, iq, ik))))
         dq_out_shape.append(
             jax.ShapeDtypeStruct((b * h, lq_p, lk_p), jnp.float32))
 
-    dq_res = pl.pallas_call(
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d), sig(lambda bh, iq, ik: (bh, iq, 0))),
+        pl.BlockSpec((1, block_k, d),
+                     (lambda bh, iq, ik, lo, hi:
+                      (bh, _other_blk(bh, iq, ik, lo, hi), 0)) if has_seg
+                     else (lambda bh, iq, ik: (bh, ik, 0))),
+        pl.BlockSpec((1, block_k, d),
+                     (lambda bh, iq, ik, lo, hi:
+                      (bh, _other_blk(bh, iq, ik, lo, hi), 0)) if has_seg
+                     else (lambda bh, iq, ik: (bh, ik, 0))),
+        pl.BlockSpec((1, block_q, d), sig(lambda bh, iq, ik: (bh, iq, 0))),
+        pl.BlockSpec((1, block_q, 1), sig(lambda bh, iq, ik: (bh, iq, 0))),
+        pl.BlockSpec((1, block_q, 1), sig(lambda bh, iq, ik: (bh, iq, 0))),
+    ] + extra_dq_specs
+
+    dq_res = call(
         wrap(functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                                lk_actual=lk, block_q=block_q,
-                               block_k=block_k, n_k=n_k, h=h), 6, True),
-        grid=(b * h, n_q, n_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
-        ] + extra_dq_specs,
-        out_specs=dq_out_specs,
-        out_shape=dq_out_shape,
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        interpret=interpret,
-    )(qp, kp, vp, gp, lse_p, delta_p, *extra_args)
+                               block_k=block_k, n_k=grid_nk_dq, h=h,
+                               remap=remap), 6, True),
+        (b * h, n_q, grid_nk_dq), dq_in_specs, dq_out_specs, dq_out_shape,
+        [pltpu.VMEM((block_q, d), jnp.float32)],
+    )(*scalar_dq, qp, kp, vp, gp, lse_p, delta_p, *extra_args)
     dq = dq_res[0]
     dbias = None
     if has_bias:
@@ -540,32 +758,46 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
                 db = db.sum(axis=ax, keepdims=True)
         dbias = db.astype(bias.dtype)
 
-    dk, dv = pl.pallas_call(
+    dkv_in_specs = [
+        pl.BlockSpec((1, block_q, d),
+                     (lambda bh, ik, iq, lo, hi:
+                      (bh, _other_blk(bh, ik, iq, lo, hi), 0)) if has_seg
+                     else (lambda bh, ik, iq: (bh, iq, 0))),
+        pl.BlockSpec((1, block_k, d), sig(lambda bh, ik, iq: (bh, ik, 0))),
+        pl.BlockSpec((1, block_k, d), sig(lambda bh, ik, iq: (bh, ik, 0))),
+        pl.BlockSpec((1, block_q, d),
+                     (lambda bh, ik, iq, lo, hi:
+                      (bh, _other_blk(bh, ik, iq, lo, hi), 0)) if has_seg
+                     else (lambda bh, ik, iq: (bh, iq, 0))),
+        pl.BlockSpec((1, block_q, 1),
+                     (lambda bh, ik, iq, lo, hi:
+                      (bh, _other_blk(bh, ik, iq, lo, hi), 0)) if has_seg
+                     else (lambda bh, ik, iq: (bh, iq, 0))),
+        pl.BlockSpec((1, block_q, 1),
+                     (lambda bh, ik, iq, lo, hi:
+                      (bh, _other_blk(bh, ik, iq, lo, hi), 0)) if has_seg
+                     else (lambda bh, ik, iq: (bh, iq, 0))),
+    ] + extra_dkv_specs
+
+    dk, dv = call(
         wrap(functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
-                               block_q=block_q, block_k=block_k, n_q=n_q,
-                               h=h),
+                               block_q=block_q, block_k=block_k,
+                               n_q=grid_nq_dkv, h=h, remap=remap),
              6, False),
-        grid=(b * h, n_k, n_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
-            pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
-        ] + extra_dkv_specs,
-        out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
+        (b * h, n_k, grid_nq_dkv), dkv_in_specs,
+        [
+            pl.BlockSpec((1, block_k, d),
+                         sig(lambda bh, ik, iq: (bh, ik, 0))),
+            pl.BlockSpec((1, block_k, d),
+                         sig(lambda bh, ik, iq: (bh, ik, 0))),
         ],
-        out_shape=[
+        [
             jax.ShapeDtypeStruct((b * h, lk_p, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, lk_p, d), v.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
-                        pltpu.VMEM((block_k, d), jnp.float32)],
-        interpret=interpret,
-    )(qp, kp, vp, gp, lse_p, delta_p, *extra_args)
+        [pltpu.VMEM((block_k, d), jnp.float32),
+         pltpu.VMEM((block_k, d), jnp.float32)],
+    )(*scalar_dkv, qp, kp, vp, gp, lse_p, delta_p, *extra_args)
 
     dq = dq[:, :lq, :d_orig].reshape(b, h, lq, d_orig)
     dk = dk[:, :lk, :d_orig].reshape(b, h, lk, d_orig)
@@ -573,7 +805,8 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
     return dq, dk, dv, dbias
 
 
-def _vjp_bwd(causal, scale, block_q, block_k, interpret, res, g):
+def _vjp_bwd(causal, scale, block_q, block_k, interpret, seg_max_kv_blocks,
+             res, g):
     """Flash backward: Pallas two-kernel path (TPU / interpret) with
     fused dbias + segment masking; XLA-scanned recompute off-TPU."""
     q_, k_, v_, bias_, seg_, out_, lse_ = res
@@ -584,7 +817,7 @@ def _vjp_bwd(causal, scale, block_q, block_k, interpret, res, g):
     if interpret or jax.default_backend() == "tpu":
         dq, dk, dv, dbias = _flash_bwd_pallas(
             q_, k_, v_, bias_, seg_, out_, lse_, g, causal, scale_v,
-            block_q, block_k, interpret)
+            block_q, block_k, interpret, seg_max_kv_blocks)
         return (dq, dk, dv, dbias, None)
     return _vjp_bwd_xla(causal, scale_v, block_q, block_k, res, g)
 

@@ -224,6 +224,50 @@ def test_flash_many_segments_block_skip_exact(causal):
                                    atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_seg_max_kv_blocks_hint_exact(causal):
+    """The static grid-truncation hint (seg_max_kv_blocks) must be
+    invisible: 8×96-token packed layout at block 128 → a q block touches
+    ≤2 segments whose union spans ≤3 contiguous k blocks (vs the full
+    grid's 6); fwd + grads ≡ the full-grid kernel."""
+    n_seq, seq_len, d = 8, 96, 32
+    l = n_seq * seq_len
+    q, k, v = (_rand((1, 2, l, d), 80 + i) for i in range(3))
+    seg = jnp.repeat(jnp.arange(n_seq, dtype=jnp.int32), seq_len)[None]
+    cot = _rand(q.shape, 84)
+
+    def f(hint):
+        def g(q, k, v):
+            return (flash_attention(
+                q, k, v, segment_ids=(seg, seg), causal=causal,
+                block_q=128, block_k=128, interpret=INTERPRET,
+                seg_max_kv_blocks=hint) * cot).sum()
+        return g
+
+    got = jax.grad(f(3), argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(f(None), argnums=(0, 1, 2))(q, k, v)
+    for gg, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(w),
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_flash_seg_hint_validation():
+    """Concrete segment ids + an undersized hint must raise, not silently
+    drop attention; bias + hint is rejected outright."""
+    l, d = 256, 32
+    q, k, v = (_rand((1, 2, l, d), 90 + i) for i in range(3))
+    seg = jnp.zeros((1, l), jnp.int32)   # ONE segment: needs all 2 blocks
+    with pytest.raises(ValueError, match="seg_max_kv_blocks"):
+        flash_attention(q, k, v, segment_ids=(seg, seg), block_q=128,
+                        block_k=128, interpret=INTERPRET,
+                        seg_max_kv_blocks=1)
+    bias = _rand((1, 1, l, l), 94)
+    with pytest.raises(ValueError, match="bias"):
+        flash_attention(q, k, v, bias=bias, segment_ids=(seg, seg),
+                        block_q=128, block_k=128, interpret=INTERPRET,
+                        seg_max_kv_blocks=2)
+
+
 def test_seg_block_bounds_and_skip_logic():
     """The skip predicate's inputs: per-block [min,max] id bounds from
     _seg_inputs, and range-overlap semantics of _seg_block_run."""

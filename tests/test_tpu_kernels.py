@@ -75,6 +75,32 @@ def test_flash_bias_and_segment_grads_compile():
         np.testing.assert_allclose(_fetch(a), _fetch(b), atol=3e-3)
 
 
+def test_flash_seg_hint_remap_compiles():
+    """The truncated-grid packed path (seg_max_kv_blocks) — scalar-prefetch
+    index maps + remapped k walk — must lower and stay exact on-chip."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        flash_attention)
+
+    n_seq, seq_len, d = 8, 256, 64
+    l = n_seq * seq_len
+    q, k, v = (_rand((1, 2, l, d), s, jnp.bfloat16) for s in (7, 8, 9))
+    seg = jnp.repeat(jnp.arange(n_seq, dtype=jnp.int32), seq_len)[None]
+
+    def f(hint):
+        def g(q, k, v):
+            return flash_attention(
+                q, k, v, segment_ids=(seg, seg), block_q=256, block_k=256,
+                seg_max_kv_blocks=hint).astype(jnp.float32).sum()
+        return g
+
+    got = jax.jit(jax.grad(f(2), argnums=(0, 1, 2)))(q, k, v)
+    want = jax.jit(jax.grad(f(None), argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(_fetch(a).astype(np.float32),
+                                   _fetch(b).astype(np.float32),
+                                   atol=3e-3, rtol=1e-2)
+
+
 def test_flash_causal_grads_compile():
     from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
         flash_attention)

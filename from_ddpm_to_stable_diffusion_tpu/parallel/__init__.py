@@ -10,3 +10,4 @@ mesh construction, and per-model PartitionSpecs live.
 
 from .mesh import (DATA_AXIS, MODEL_AXIS, SEQ_AXIS, build_mesh, local_mesh,
                    replicate, shard_batch)
+from .fsdp import (apply_fsdp, fsdp_shardings, fsdp_spec, fsdp_tp_shardings)

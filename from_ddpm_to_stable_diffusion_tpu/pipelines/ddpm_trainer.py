@@ -54,13 +54,20 @@ class DDPMTrainer:
     def __init__(self, config: TinySDConfig, mesh=None,
                  logger: Optional[MetricsLogger] = None,
                  latent_encode_fn=None, latent_decode_fn=None,
-                 model=None, sample_shape=None):
+                 model=None, sample_shape=None, fsdp: bool = False):
         """``model``: any ε-predictor with ``apply(vars, x, t, labels,
         deterministic=, rngs=)`` — defaults to the stage-06 TinyUNet; pass
         e.g. ``models.tiny_video_unet.TinyVideoUNet`` with
         ``sample_shape=(T, H, W, C)`` for clip-shaped data (the DDPM
-        machinery is rank-generic)."""
+        machinery is rank-generic).
+
+        ``fsdp``: store the train state (params + optimizer moments + EMA)
+        sharded over the mesh ``data`` axis (ZeRO; see parallel/fsdp.py) —
+        XLA gathers weights just-in-time and reduce-scatters grads. Use
+        when params*3 optimizer copies would not fit one chip."""
         self.cfg = config
+        self.fsdp = fsdp
+        self._state_shardings = None
         self.mesh = mesh if mesh is not None else build_mesh(config.mesh_shape)
         self.logger = logger or MetricsLogger()
         self.latent_encode_fn = latent_encode_fn
@@ -98,16 +105,24 @@ class DDPMTrainer:
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(lr),
         )
-        if self.mesh.shape.get("model", 1) == 1:
+        if self.mesh.shape.get("model", 1) == 1 and not self.fsdp:
             # one fused update over a single flattened vector instead of a
             # per-leaf op soup (~110 tiny f32[128]-class multiplies/step —
             # 2.6 ms/step at the tiny-SD op point, measured). Kept per-leaf
-            # under model-axis TP so opt-state shardings can follow the
-            # param-path rules.
+            # under model-axis TP (opt-state shardings follow param-path
+            # rules) and under FSDP (the concatenated vector's length is
+            # rarely divisible by the data axis; per-leaf moments shard
+            # exactly like their params).
             tx = optax.flatten(tx)
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx,
             ema_params=(params if cfg.ema_decay else None))
+        if self.fsdp:
+            from ..parallel import fsdp_shardings
+
+            self._state_shardings = fsdp_shardings(state, self.mesh)
+            return jax.tree_util.tree_map(jax.device_put, state,
+                                          self._state_shardings)
         return replicate(self.mesh, state)
 
     def num_params(self, state: TrainState) -> int:
@@ -133,6 +148,13 @@ class DDPMTrainer:
             labels = jnp.where(drop, 0, labels)
 
             def loss_fn(params):
+                if self._state_shardings is not None:
+                    # ZeRO: one explicit all-gather point; its transpose
+                    # reduce-scatters the grads back to the params' layout
+                    from ..parallel.fsdp import gather
+
+                    params = gather(params, self.mesh)
+
                 def apply(x, t, y):
                     return model.apply({"params": params}, x, t, y,
                                        deterministic=False,
@@ -148,6 +170,12 @@ class DDPMTrainer:
                     lambda e, p: d * e + (1.0 - d) * p,
                     state.ema_params, state.params)
                 state = state.replace(ema_params=new_ema)
+            if self._state_shardings is not None:
+                # pin the updated state back to its ZeRO layout so it is
+                # STORED reduce-scattered and donation reuses the buffers
+                from ..parallel.fsdp import constrain
+
+                state = constrain(state, self._state_shardings)
             return state, loss
 
         return jax.jit(step_fn, donate_argnums=(0,))

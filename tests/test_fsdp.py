@@ -1,0 +1,101 @@
+"""FSDP (ZeRO) sharding: spec rules, TP composition, train equivalence.
+
+The reference's one nod to scale is the FSDP-unit comment at
+02_stable_diffusion-3/mmdit.py:375; here FSDP is a sharding annotation
+(parallel/fsdp.py) — these tests pin the spec rules and prove a ZeRO-
+sharded train run is numerically identical to the replicated one.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from from_ddpm_to_stable_diffusion_tpu.parallel import (
+    build_mesh, fsdp_shardings, fsdp_spec, fsdp_tp_shardings)
+from from_ddpm_to_stable_diffusion_tpu.pipelines.ddpm_trainer import DDPMTrainer
+from from_ddpm_to_stable_diffusion_tpu.utils.config import TinySDConfig
+
+
+def test_fsdp_spec_rules():
+    # largest divisible dim gets the data axis
+    assert fsdp_spec((3, 3, 128, 512), 8, min_size=1) == \
+        P(None, None, None, "data")
+    # optax.flatten's single concatenated vector shards on dim 0
+    assert fsdp_spec((1 << 20,), 8, min_size=1) == P("data")
+    # small leaves stay replicated regardless of divisibility
+    assert fsdp_spec((128,), 8) == P()
+    # indivisible everywhere -> replicated
+    assert fsdp_spec((7, 13), 8, min_size=1) == P()
+    # ties/ordering: first largest wins
+    assert fsdp_spec((256, 256), 8, min_size=1) == P("data", None)
+
+
+def test_fsdp_tp_composition(devices8):
+    mesh = build_mesh({"data": 4, "model": 2}, devices8)
+    params = {
+        "blocks_0": {"attn": {"qkv": {"kernel": np.zeros((256, 768))},
+                              "proj": {"kernel": np.zeros((256, 256))}}},
+        "norm": {"scale": np.zeros((256,))},
+    }
+    sh = fsdp_tp_shardings(params, mesh, min_size=1)
+    # column-parallel TP on dim 1, FSDP data on dim 0
+    assert sh["blocks_0"]["attn"]["qkv"]["kernel"].spec == P("data", "model")
+    # row-parallel TP on dim 0, FSDP data on the free dim 1
+    assert sh["blocks_0"]["attn"]["proj"]["kernel"].spec == P("model", "data")
+    # small norm scale replicated (default min_size in fsdp path)
+    sh_default = fsdp_tp_shardings(params, mesh)
+    assert sh_default["norm"]["scale"].spec == P()
+
+
+@pytest.mark.slow
+def test_fsdp_train_equivalence(devices8):
+    """3 FSDP train steps on the 8-way data mesh == replicated steps:
+    identical losses and final params; state actually stored sharded."""
+    cfg = TinySDConfig(
+        epoch=2, batch_size=8, img_size=16, img_channel=3, num_class=3,
+        T=10, channel=32, channel_multy=[1, 2, 2, 2], dropout=0.0,
+        lr=1e-4, max_lr=1e-3, warmup_epochs=1, train_rand=0.1, w=1.8,
+        dtype="fp32", seed=0)
+    mesh = build_mesh({"data": 8}, devices8)
+
+    rng = jax.random.key(1)
+    imgs = np.random.default_rng(0).uniform(
+        -1, 1, (8, 16, 16, 3)).astype(np.float32)
+    labels = (np.arange(8) % 3).astype(np.int32)
+
+    def run(**kw):
+        trainer = DDPMTrainer(cfg, **kw)
+        state = trainer.create_state(steps_per_epoch=4)
+        losses = []
+        for _ in range(3):
+            state, loss = trainer.train_step(state, imgs, labels, rng)
+            losses.append(float(loss))
+        return trainer, state, losses
+
+    t_f, s_f, l_f = run(mesh=mesh, fsdp=True)
+    t_r, s_r, l_r = run(mesh=mesh, fsdp=False)
+
+    np.testing.assert_allclose(l_f, l_r, rtol=1e-6)
+    flat_f = jax.tree_util.tree_leaves(jax.device_get(s_f.params))
+    flat_r = jax.tree_util.tree_leaves(jax.device_get(s_r.params))
+    # Adam turns noise-level grads (|g| ~ fp reduction error) into full
+    # +-lr sign flips, and the two runs order their reductions differently
+    # (reduce-scatter + per-leaf moments vs psum + flattened moments) — so
+    # compare distributionally: almost all entries identical, the tail
+    # bounded by the summed lr.
+    d = np.concatenate([np.abs(a - b).ravel().astype(np.float64)
+                        for a, b in zip(flat_f, flat_r)])
+    assert np.percentile(d, 99) < 1e-6
+    assert d.max() < 3e-3
+
+    # the big leaves really live sharded over data (ZeRO storage)
+    sharded = [p for p in jax.tree_util.tree_leaves(s_f.params)
+               if "data" in (p.sharding.spec or ())]
+    assert sharded, "no param leaf stored sharded over the data axis"
+    # opt state (flattened vector) sharded too
+    opt_leaves = [x for x in jax.tree_util.tree_leaves(s_f.opt_state)
+                  if hasattr(x, "sharding") and np.ndim(x) >= 1
+                  and np.size(x) >= 2 ** 15]
+    assert opt_leaves and all("data" in (x.sharding.spec or ())
+                              for x in opt_leaves)

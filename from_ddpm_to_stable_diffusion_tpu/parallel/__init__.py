@@ -10,4 +10,5 @@ mesh construction, and per-model PartitionSpecs live.
 
 from .mesh import (DATA_AXIS, MODEL_AXIS, SEQ_AXIS, build_mesh, local_mesh,
                    replicate, shard_batch)
-from .fsdp import (apply_fsdp, fsdp_shardings, fsdp_spec, fsdp_tp_shardings)
+from .fsdp import (apply_fsdp, drop_data_axis, fsdp_shardings, fsdp_spec,
+                   fsdp_tp_shardings)

@@ -115,6 +115,22 @@ def constrain(tree, shardings):
         jax.lax.with_sharding_constraint, tree, shardings)
 
 
+def drop_data_axis(shardings):
+    """Map (hybrid) FSDP NamedShardings to their gathered-over-data layout.
+
+    Removes ``data`` from every spec and keeps all other axes — under
+    hybrid FSDP×TP this is the just-in-time weight layout: gathered over
+    data, still contracted sharded over model.  Constraining params to it
+    at the top of a loss is the hybrid generalization of :func:`gather`
+    (to which it degenerates when no other axis is present).
+    """
+    def leaf(s):
+        spec = tuple(None if a == DATA_AXIS else a for a in (s.spec or ()))
+        return NamedSharding(s.mesh, P(*spec))
+
+    return jax.tree_util.tree_map(leaf, shardings)
+
+
 def gather(tree, mesh: Mesh):
     """All-gather a ZeRO-sharded pytree to replicated, inside jit.
 

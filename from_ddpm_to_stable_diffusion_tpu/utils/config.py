@@ -67,6 +67,40 @@ class TinySDConfig:
 
 
 @dataclasses.dataclass
+class FlowTrainConfig:
+    """Rectified-flow (SD3-style) MMDiT training config.
+
+    The reference only *infers* SD3 (02_stable_diffusion-3/sd3_infer.py);
+    training its architecture is a framework capability on top. Schedule
+    knobs (shift, num_timesteps) mirror ModelSamplingDiscreteFlow
+    (sd3_infer.py:47-79) so a trained model samples with the same
+    flow-Euler path as the imported checkpoints.
+    """
+
+    epoch: int = 10
+    epoch_awoken: Optional[int] = None
+    batch_size: int = 8
+    img_size: int = 32           # LATENT spatial size fed to the MMDiT
+    context_len: int = 154       # text-context tokens (SD3: 77+77)
+    shift: float = 3.0           # σ(t) = shift·t/(1+(shift−1)·t)
+    num_timesteps: int = 1000
+    lr: float = 1.0e-5
+    max_lr: float = 1.0e-4
+    warmup_epochs: int = 1
+    grad_clip: float = 1.0
+    train_rand: float = 0.1      # cond-drop probability (CFG training)
+    w: float = 5.0               # CFG scale at sampling (SD3 default)
+    sample_steps: int = 50
+    model_dir: str = "./checkpoints/mmdit"
+    dtype: str = "bf16"
+    seed: int = 0
+    mesh_shape: Optional[dict] = None
+    ema_decay: Optional[float] = None
+
+    from_yaml = classmethod(lambda cls, path: cls(**yaml.safe_load(open(path))))
+
+
+@dataclasses.dataclass
 class VAETrainConfig:
     """Stage-03 VAE/VQ-VAE training (reference 02_train_vae.py:68-79)."""
 

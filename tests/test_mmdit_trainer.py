@@ -1,0 +1,122 @@
+"""Rectified-flow MMDiT training: objective sanity, sharded equivalence.
+
+The reference ships SD3 inference-only (02_stable_diffusion-3/sd3_infer.py);
+pipelines/mmdit_trainer.py trains the same architecture with the
+rectified-flow objective. These tests pin: the loss actually trains a tiny
+MMDiT; hybrid FSDP×TP training matches plain DP numerically; the state is
+really stored sharded over data×model; sampling round-trips shapes.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from from_ddpm_to_stable_diffusion_tpu.models.mmdit import MMDiTConfig
+from from_ddpm_to_stable_diffusion_tpu.parallel import build_mesh
+from from_ddpm_to_stable_diffusion_tpu.pipelines.mmdit_trainer import MMDiTTrainer
+from from_ddpm_to_stable_diffusion_tpu.utils.config import FlowTrainConfig
+
+
+def tiny_model_cfg(**kw):
+    base = dict(patch_size=2, in_channels=4, depth=2, adm_in_channels=8,
+                context_dim=16, pos_embed_max_size=8)
+    base.update(kw)
+    return MMDiTConfig(**base)
+
+
+def tiny_train_cfg(**kw):
+    base = dict(epoch=1, batch_size=8, img_size=8, context_len=4,
+                lr=1e-4, max_lr=1e-3, warmup_epochs=1, train_rand=0.1,
+                sample_steps=3, w=2.0, dtype="fp32", seed=0)
+    base.update(kw)
+    return FlowTrainConfig(**base)
+
+
+def batch(b=8, img=8, ctx_len=4, ctx_dim=16, adm=8):
+    r = np.random.default_rng(0)
+    return (r.normal(size=(b, img, img, 4)).astype(np.float32),
+            r.normal(size=(b, ctx_len, ctx_dim)).astype(np.float32),
+            r.normal(size=(b, adm)).astype(np.float32))
+
+
+def test_flow_train_loss_decreases(devices8):
+    # epoch×steps_per_epoch must cover the loop: the cosine LR schedule
+    # decays to ~0 past its horizon and the loss would plateau spuriously
+    trainer = MMDiTTrainer(tiny_model_cfg(),
+                           tiny_train_cfg(epoch=5, max_lr=3e-3),
+                           mesh=build_mesh({"data": 8}, devices8))
+    state = trainer.create_state(steps_per_epoch=8)
+    latents, ctx, y = batch()
+    rng = jax.random.key(3)
+    losses = []
+    for _ in range(40):
+        state, loss = trainer.train_step(state, latents, ctx, y, rng)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # memorizing a fixed batch: the velocity MSE must drop substantially
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+
+
+@pytest.mark.slow
+def test_fsdp_tp_hybrid_matches_dp(devices8):
+    """3 hybrid (data=4 × model=2, ZeRO-stored) steps == plain-DP steps,
+    and the state really lives sharded over BOTH axes."""
+    latents, ctx, y = batch()
+    rng = jax.random.key(1)
+
+    def run(mesh, fsdp):
+        trainer = MMDiTTrainer(tiny_model_cfg(), tiny_train_cfg(),
+                               mesh=mesh, fsdp=fsdp)
+        state = trainer.create_state(steps_per_epoch=4)
+        losses = []
+        for _ in range(3):
+            state, loss = trainer.train_step(state, latents, ctx, y, rng)
+            losses.append(float(loss))
+        return state, losses
+
+    s_h, l_h = run(build_mesh({"data": 4, "model": 2}, devices8), fsdp=True)
+    s_d, l_d = run(build_mesh({"data": 8}, devices8), fsdp=False)
+
+    np.testing.assert_allclose(l_h, l_d, rtol=2e-5)
+    # reduction orders differ (reduce-scatter + TP psum + per-leaf moments
+    # vs psum + flattened moments); Adam amplifies noise-level grad
+    # differences into ±lr sign flips — compare distributionally
+    d = np.concatenate(
+        [np.abs(a - b).ravel().astype(np.float64) for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(s_h.params)),
+            jax.tree_util.tree_leaves(jax.device_get(s_d.params)))])
+    assert np.percentile(d, 99) < 1e-5
+    assert d.max() < 3e-3
+
+    # ZeRO×TP storage: at least one param carries both mesh axes
+    specs = [tuple(p.sharding.spec or ())
+             for p in jax.tree_util.tree_leaves(s_h.params)]
+    assert any("data" in s and "model" in s for s in specs), specs
+    # moments too (per-leaf adamw under TP/FSDP)
+    opt_specs = [tuple(x.sharding.spec or ())
+                 for x in jax.tree_util.tree_leaves(s_h.opt_state)
+                 if hasattr(x, "sharding") and np.ndim(x) >= 2]
+    assert any("data" in s and "model" in s for s in opt_specs), opt_specs
+
+
+def test_flow_sample_shapes(devices8):
+    cfg = tiny_train_cfg()
+    trainer = MMDiTTrainer(tiny_model_cfg(), cfg,
+                           mesh=build_mesh({"data": 8}, devices8))
+    state = trainer.create_state(steps_per_epoch=4)
+    _, ctx, y = batch(b=2)
+    out = trainer.sample(state, ctx[:2], y[:2], steps=2)
+    assert out.shape == (2, cfg.img_size, cfg.img_size, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sigma_shift_matches_inference_schedule():
+    """The training-time σ(t) map equals the inference schedule's σ(t·1000)
+    (ModelSamplingDiscreteFlow contract, sd3_infer.py:68-72)."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.schedules import flow_sigma
+
+    trainer = MMDiTTrainer(tiny_model_cfg(), tiny_train_cfg(shift=3.0))
+    t = np.linspace(0.01, 1.0, 17)
+    np.testing.assert_allclose(
+        np.asarray(trainer._sigma_of_t(t)),
+        np.asarray(flow_sigma(t * 1000, shift=3.0)), rtol=1e-6)

@@ -54,7 +54,9 @@ class DDPMTrainer:
     def __init__(self, config: TinySDConfig, mesh=None,
                  logger: Optional[MetricsLogger] = None,
                  latent_encode_fn=None, latent_decode_fn=None,
-                 model=None, sample_shape=None, fsdp: bool = False):
+                 model=None, sample_shape=None, fsdp: bool = False,
+                 lora_rank: Optional[int] = None, base_params=None,
+                 lora_scale: float = 1.0):
         """``model``: any ε-predictor with ``apply(vars, x, t, labels,
         deterministic=, rngs=)`` — defaults to the stage-06 TinyUNet; pass
         e.g. ``models.tiny_video_unet.TinyVideoUNet`` with
@@ -64,9 +66,18 @@ class DDPMTrainer:
         ``fsdp``: store the train state (params + optimizer moments + EMA)
         sharded over the mesh ``data`` axis (ZeRO; see parallel/fsdp.py) —
         XLA gathers weights just-in-time and reduce-scatters grads. Use
-        when params*3 optimizer copies would not fit one chip."""
+        when params*3 optimizer copies would not fit one chip.
+
+        ``lora_rank``: LoRA fine-tuning (utils/lora.py) — freeze the base
+        weights (``base_params``, e.g. an imported checkpoint; defaults to
+        a fresh init) and train only rank-r adapters on the attention/MLP
+        kernels. ``state.params`` is then the flat adapter dict; the merge
+        W + (scale/r)·A·B happens inside the jitted step/sample."""
         self.cfg = config
         self.fsdp = fsdp
+        self.lora_rank = lora_rank
+        self.lora_scale = lora_scale
+        self._base_params = base_params  # placed on mesh in create_state
         self._state_shardings = None
         self.mesh = mesh if mesh is not None else build_mesh(config.mesh_shape)
         self.logger = logger or MetricsLogger()
@@ -99,6 +110,14 @@ class DDPMTrainer:
         params = jax.jit(self.model.init)(
             rng, x, jnp.zeros((1,), jnp.int32),
             jnp.zeros((1,), jnp.int32))["params"]
+        if self.lora_rank:
+            from ..utils.lora import init_lora
+
+            base = self._base_params if self._base_params is not None \
+                else params
+            self._base_params = replicate(self.mesh, base)
+            params = init_lora(jax.random.fold_in(rng, 1), base,
+                               rank=self.lora_rank)
         lr = schedules.cosine_warmup_lr(cfg.lr, cfg.max_lr, cfg.warmup_epochs,
                                         cfg.epoch, steps_per_epoch)
         tx = optax.chain(
@@ -138,7 +157,7 @@ class DDPMTrainer:
 
         latent_encode = self.latent_encode_fn
 
-        def step_fn(state: TrainState, images, labels, rng):
+        def step_fn(state: TrainState, base, images, labels, rng):
             rng = jax.random.fold_in(rng, state.step)
             drop_key, loss_key, dropout_key, enc_key = jax.random.split(rng, 4)
             if latent_encode is not None:
@@ -154,6 +173,13 @@ class DDPMTrainer:
                     from ..parallel.fsdp import gather
 
                     params = gather(params, self.mesh)
+                if self.lora_rank:
+                    # adapters merge into the frozen base inside the jitted
+                    # loss; autodiff routes grads to (A, B) only — base is
+                    # a non-differentiated argument
+                    from ..utils.lora import merge_lora
+
+                    params = merge_lora(base, params, self.lora_scale)
 
                 def apply(x, t, y):
                     return model.apply({"params": params}, x, t, y,
@@ -184,7 +210,8 @@ class DDPMTrainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         images, labels = shard_batch(self.mesh, (images, labels))
-        return self._train_step(state, images, labels, rng)
+        return self._train_step(state, self._base_params, images, labels,
+                                rng)
 
     def fit(self, loader: Iterable, state: Optional[TrainState] = None,
             epochs: Optional[int] = None, sample_every: int = 1,
@@ -250,7 +277,11 @@ class DDPMTrainer:
         if key not in self._sample_fn:
 
             @jax.jit
-            def sample_fn(params, labels, rng):
+            def sample_fn(params, base, labels, rng):
+                if self.lora_rank:
+                    from ..utils.lora import merge_lora
+
+                    params = merge_lora(base, params, self.lora_scale)
                 noise_key, samp_key = jax.random.split(rng)
                 x_T = jax.random.normal(noise_key,
                                         (n,) + self.sample_shape)
@@ -267,4 +298,4 @@ class DDPMTrainer:
             self._sample_fn[key] = sample_fn
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
-        return self._sample_fn[key](params, labels, rng)
+        return self._sample_fn[key](params, self._base_params, labels, rng)

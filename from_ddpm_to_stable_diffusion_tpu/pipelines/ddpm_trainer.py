@@ -115,7 +115,14 @@ class DDPMTrainer:
 
             base = self._base_params if self._base_params is not None \
                 else params
-            self._base_params = replicate(self.mesh, base)
+            if self.fsdp:
+                # the frozen base dominates memory — store it
+                # reduce-scattered too; XLA gathers it at the merge
+                from ..parallel.fsdp import apply_fsdp
+
+                self._base_params = apply_fsdp(base, self.mesh)
+            else:
+                self._base_params = replicate(self.mesh, base)
             params = init_lora(jax.random.fold_in(rng, 1), base,
                                rank=self.lora_rank)
         lr = schedules.cosine_warmup_lr(cfg.lr, cfg.max_lr, cfg.warmup_epochs,

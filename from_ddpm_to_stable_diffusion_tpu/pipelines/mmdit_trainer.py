@@ -63,10 +63,19 @@ class MMDiTTrainer:
 
     def __init__(self, model_cfg: MMDiTConfig, cfg: FlowTrainConfig,
                  mesh=None, fsdp: bool = False,
-                 logger: Optional[MetricsLogger] = None):
+                 logger: Optional[MetricsLogger] = None,
+                 lora_rank: Optional[int] = None, base_params=None,
+                 lora_scale: float = 1.0):
+        """``lora_rank``: LoRA fine-tuning (utils/lora.py) — freeze
+        ``base_params`` (e.g. an imported SD3 checkpoint's MMDiT tree) and
+        train rank-r adapters only; under ``fsdp`` the frozen base is ALSO
+        stored reduce-scattered (it dominates memory), gathered at use."""
         self.model_cfg = model_cfg
         self.cfg = cfg
         self.fsdp = fsdp
+        self.lora_rank = lora_rank
+        self.lora_scale = lora_scale
+        self._base_params = base_params  # placed on mesh in create_state
         self.mesh = mesh if mesh is not None else build_mesh(cfg.mesh_shape)
         self.tp = self.mesh.shape.get("model", 1) > 1
         self.logger = logger or MetricsLogger()
@@ -97,6 +106,19 @@ class MMDiTTrainer:
             rng = jax.random.key(cfg.seed)
         x, t, y, ctx = self._dummy_inputs()
         params = jax.jit(self.model.init)(rng, x, t, y, ctx)["params"]
+        if self.lora_rank:
+            from ..utils.lora import init_lora
+
+            base = self._base_params if self._base_params is not None \
+                else params
+            if self.fsdp:
+                from ..parallel.fsdp import apply_fsdp
+
+                self._base_params = apply_fsdp(base, self.mesh)
+            else:
+                self._base_params = replicate(self.mesh, base)
+            params = init_lora(jax.random.fold_in(rng, 1), base,
+                               rank=self.lora_rank)
         lr = schedules.cosine_warmup_lr(cfg.lr, cfg.max_lr, cfg.warmup_epochs,
                                         cfg.epoch, steps_per_epoch)
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
@@ -139,7 +161,7 @@ class MMDiTTrainer:
         has_y = self.model_cfg.adm_in_channels is not None
         has_ctx = self.model_cfg.context_dim is not None
 
-        def step_fn(state: TrainState, latents, context, y, rng):
+        def step_fn(state: TrainState, base, latents, context, y, rng):
             rng = jax.random.fold_in(rng, state.step)
             t_key, n_key, drop_key = jax.random.split(rng, 3)
             b = latents.shape[0]
@@ -163,6 +185,10 @@ class MMDiTTrainer:
                     # any, stays sharded); the constraint's transpose
                     # reduce-scatters the grads back to storage layout
                     params = constrain(params, self._gather_shardings)
+                if self.lora_rank:
+                    from ..utils.lora import merge_lora
+
+                    params = merge_lora(base, params, self.lora_scale)
                 out = model.apply({"params": params}, x_sigma, timestep,
                                   yy, ctx)
                 return jnp.mean(jnp.square(out - target))
@@ -186,7 +212,8 @@ class MMDiTTrainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         latents, context, y = shard_batch(self.mesh, (latents, context, y))
-        return self._train_step(state, latents, context, y, rng)
+        return self._train_step(state, self._base_params, latents, context,
+                                y, rng)
 
     def fit(self, loader: Iterable, state: Optional[TrainState] = None,
             epochs: Optional[int] = None,
@@ -257,7 +284,11 @@ class MMDiTTrainer:
         if key not in self._sample_fn:
 
             @jax.jit
-            def sample_fn(params, context, y, rng):
+            def sample_fn(params, base, context, y, rng):
+                if self.lora_rank:
+                    from ..utils.lora import merge_lora
+
+                    params = merge_lora(base, params, self.lora_scale)
                 x = jax.random.normal(
                     rng, (b, cfg.img_size, cfg.img_size, mc.in_channels))
                 ctx2 = (jnp.concatenate([context, jnp.zeros_like(context)])
@@ -282,4 +313,5 @@ class MMDiTTrainer:
             self._sample_fn[key] = sample_fn
         params = state.ema_params if (use_ema and state.ema_params
                                       is not None) else state.params
-        return self._sample_fn[key](params, context, y, rng)
+        return self._sample_fn[key](params, self._base_params, context, y,
+                                    rng)

@@ -166,3 +166,18 @@ def test_sd3_cli_sequence_parallel(tmp_path, devices8):
                    "--height", "128", "--steps", "2", "--sp", "2",
                    "--sp-impl", "ulysses", "--out", str(out)])
     assert rc == 0 and out.exists()
+
+
+@pytest.mark.slow
+def test_sd3_cli_train_fsdp_lora(devices8, capsys):
+    """sd3 train: rectified-flow MMDiT training through the CLI —
+    ZeRO-sharded state + LoRA adapters on the 8-fake-device mesh."""
+    from from_ddpm_to_stable_diffusion_tpu.cli import sd3
+
+    rc = sd3.main(["train", "--steps", "4", "--batch-size", "8",
+                   "--img-size", "8", "--context-len", "4",
+                   "--context-dim", "16", "--adm", "16",
+                   "--dtype", "fp32", "--fsdp", "--lora-rank", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sampled latents" in out

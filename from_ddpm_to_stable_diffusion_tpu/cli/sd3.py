@@ -50,6 +50,12 @@ def main(argv=None):
                         "docs/RING_SCALING.md; mutually exclusive w/ --tp)")
     g.add_argument("--sp-impl", choices=("ring", "ulysses"),
                    default="ring")
+    g.add_argument("--init-image", default=None,
+                   help="img2img: init image path (resized to "
+                        "width×height, VAE-encoded, partially denoised — "
+                        "ref sd3_infer.py:349-362)")
+    g.add_argument("--strength", type=float, default=0.8,
+                   help="img2img denoise strength in (0,1]")
     g.add_argument("--save-trajectory", action="store_true",
                    help="also save a grid of per-step latent RGB previews")
     g.add_argument("--out", default="sd3_out.png")
@@ -141,6 +147,11 @@ def main(argv=None):
                   cfg_scale=args.cfg_scale, seed=args.seed,
                   offload_text_encoders=args.offload_text_encoders,
                   keep_trajectory=args.save_trajectory)
+    if args.init_image:
+        raw = np.asarray(Image.open(args.init_image).convert("RGB").resize(
+            (args.width, args.height)), np.float32)
+        kwargs["init_image"] = (raw / 255.0 * 2.0 - 1.0)[None]
+        kwargs["denoise_strength"] = args.strength
 
     if tokenizer is not None:
         out = inf.gen_image_text(args.prompt, args.neg_prompt, **kwargs)

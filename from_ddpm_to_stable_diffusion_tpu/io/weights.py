@@ -21,7 +21,7 @@ directly (row order q|k|v matches our split convention).
 from __future__ import annotations
 
 import subprocess
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -72,6 +72,66 @@ def load_safetensors_dict(path: str,
                 continue
             out[key[len(prefix):]] = np.asarray(f.get_tensor(key))
     return out
+
+
+_ST_DTYPE_NAMES = {
+    "float64": "F64", "float32": "F32", "float16": "F16",
+    "bfloat16": "BF16", "int64": "I64", "int32": "I32", "int16": "I16",
+    "int8": "I8", "uint8": "U8", "bool": "BOOL",
+}
+
+
+def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Flatten a nested-dict param tree to {'a/b/c': array} (numpy)."""
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def save_safetensors_dict(tensors: Dict[str, np.ndarray], path: str,
+                          metadata: Optional[Dict[str, str]] = None) -> None:
+    """Write {key: array} as a .safetensors file (pure Python, no deps).
+
+    The interop EXPORT counterpart of :func:`load_safetensors_dict`:
+    anything trained here — full param trees (``flatten_tree`` first),
+    EMA mirrors, LoRA adapter sets — becomes one file any safetensors
+    consumer can read, including the reference's attribute-walk loader
+    (/root/reference/02_stable_diffusion-3/sd3_infer.py:20-44). bf16
+    round-trips via its ml_dtypes name. Header is 8-byte aligned with
+    spaces per the format's convention.
+    """
+    import json
+    import struct
+
+    header: Dict[str, object] = {}
+    if metadata:
+        header["__metadata__"] = {str(k): str(v)
+                                  for k, v in metadata.items()}
+    arrays = []
+    offset = 0
+    for k in sorted(tensors):
+        a = np.ascontiguousarray(tensors[k])
+        try:
+            name = _ST_DTYPE_NAMES[a.dtype.name]
+        except KeyError:
+            raise ValueError(
+                f"{k}: dtype {a.dtype} has no safetensors encoding")
+        header[k] = {"dtype": name, "shape": list(a.shape),
+                     "data_offsets": [offset, offset + a.nbytes]}
+        arrays.append(a)
+        offset += a.nbytes
+    hj = json.dumps(header, separators=(",", ":")).encode()
+    hj += b" " * ((8 - len(hj) % 8) % 8)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hj)))
+        f.write(hj)
+        for a in arrays:
+            f.write(a.tobytes())
 
 
 # --------------------------------------------------------------------------

@@ -181,3 +181,22 @@ def test_sd3_cli_train_fsdp_lora(devices8, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "sampled latents" in out
+
+
+@pytest.mark.slow
+def test_sd3_cli_img2img(tmp_path):
+    """sd3 generate --init-image: the img2img branch (VAE encode +
+    partial denoise, ref sd3_infer.py:349-362) through the CLI."""
+    from PIL import Image
+
+    from from_ddpm_to_stable_diffusion_tpu.cli import sd3
+
+    src = tmp_path / "init.png"
+    Image.fromarray(
+        (np.arange(128 * 128 * 3) % 255).astype("uint8").reshape(
+            128, 128, 3)).save(src)
+    out = tmp_path / "sd3_i2i.png"
+    rc = sd3.main(["generate", "--prompt", "a dog", "--width", "128",
+                   "--height", "128", "--steps", "4", "--strength", "0.5",
+                   "--init-image", str(src), "--out", str(out)])
+    assert rc == 0 and out.exists()

@@ -120,3 +120,29 @@ def test_sigma_shift_matches_inference_schedule():
     np.testing.assert_allclose(
         np.asarray(trainer._sigma_of_t(t)),
         np.asarray(flow_sigma(t * 1000, shift=3.0)), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_fit_checkpoints_and_resumes(tmp_path, devices8):
+    """fit() over a list loader writes a best-loss Orbax checkpoint that
+    restores into a fresh state (the epoch_awoken-style resume path)."""
+    from from_ddpm_to_stable_diffusion_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    cfg = tiny_train_cfg(epoch=2)
+    trainer = MMDiTTrainer(tiny_model_cfg(), cfg,
+                           mesh=build_mesh({"data": 8}, devices8))
+    data = [batch(), batch()]
+    state = trainer.fit(data, epochs=2, checkpoint_dir=str(tmp_path))
+
+    template = jax.device_get(
+        MMDiTTrainer(tiny_model_cfg(), cfg).create_state(steps_per_epoch=2))
+    restored, at = CheckpointManager(str(tmp_path)).restore(
+        template=template)
+    assert restored is not None
+    # the restored tree matches the trained one structurally and the best
+    # epoch's params are real numbers
+    for a in jax.tree_util.tree_leaves(restored.params):
+        assert np.isfinite(np.asarray(a)).all()
+    assert int(restored.step) > 0
+    del state

@@ -146,3 +146,29 @@ def test_fit_checkpoints_and_resumes(tmp_path, devices8):
         assert np.isfinite(np.asarray(a)).all()
     assert int(restored.step) > 0
     del state
+
+
+@pytest.mark.slow
+def test_sp_training_step(devices8):
+    """One rectified-flow train step with the joint attention under ring
+    AND Ulysses sequence parallelism on a data×seq mesh — the long-token
+    training configuration (gradients flow through the SP custom VJPs)."""
+    mesh = build_mesh({"data": 2, "seq": 4}, devices8)
+    latents, ctx, y = batch(b=2, img=8, ctx_len=4)
+    rng = jax.random.key(0)
+
+    losses = {}
+    for impl in ("ring", "ulysses"):
+        # joint seq = 4 ctx + 16 img tokens = 20, divides seq=4;
+        # heads=depth=4 divides seq for the Ulysses head reshard
+        trainer = MMDiTTrainer(
+            tiny_model_cfg(depth=4, attention_impl=impl),
+            tiny_train_cfg(batch_size=2), mesh=mesh)
+        state = trainer.create_state(steps_per_epoch=2)
+        state, loss = trainer.train_step(state, latents, ctx, y, rng)
+        losses[impl] = float(loss)
+        assert np.isfinite(losses[impl]), impl
+
+    # same data + init seed: both SP impls compute the same exact step
+    np.testing.assert_allclose(losses["ring"], losses["ulysses"],
+                               rtol=1e-5)

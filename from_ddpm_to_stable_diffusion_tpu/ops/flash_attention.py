@@ -195,15 +195,7 @@ def _seg_inputs(segment_ids, b, h, lq, lk, block_q, block_k):
     q_bounds = jnp.stack([q_blocks.min(2), q_blocks.max(2)], axis=-1)
     kv_bounds = jnp.stack([kv_blocks.min(2), kv_blocks.max(2)], axis=-1)
     kv_bcast = jnp.broadcast_to(kv_pad[:, None, :], (b, 8, kv_pad.shape[1]))
-    specs = [
-        pl.BlockSpec((1, block_q, 1),
-                     lambda bh, iq, ik, h=h: (bh // h, iq, 0)),
-        pl.BlockSpec((1, 8, block_k),
-                     lambda bh, iq, ik, h=h: (bh // h, 0, ik)),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
-    return [q_pad[:, :, None], kv_bcast, q_bounds, kv_bounds], specs
+    return [q_pad[:, :, None], kv_bcast, q_bounds, kv_bounds]
 
 
 def _seg_block_run(qb_ref, kb_ref, ib, iq, ik):
@@ -239,7 +231,8 @@ def _seg_block_ranges(q_bounds, kv_bounds):
     return q_lo, q_hi, k_lo, k_hi
 
 
-def _check_seg_hint(q_lo, q_hi, grid_extent, segment_ids):
+def _check_seg_hint(q_lo, q_hi, grid_extent, segment_ids,
+                    axis="k blocks per q block"):
     """When the segment ids are concrete (not traced), verify the static
     seg_max_kv_blocks hint actually covers every block's live range —
     an undersized hint would silently drop attention mass."""
@@ -248,8 +241,29 @@ def _check_seg_hint(q_lo, q_hi, grid_extent, segment_ids):
     needed = int(jnp.max(q_hi - q_lo + 1))
     if grid_extent < needed:
         raise ValueError(
-            f"seg_max_kv_blocks={grid_extent} < {needed} required by this "
-            "packing layout (max overlapping k blocks per q block)")
+            f"truncated grid extent {grid_extent} < {needed} required by "
+            f"this packing layout (max overlapping {axis}); raise "
+            "seg_max_kv_blocks")
+
+
+def _seg_grid_extents(hint, n_q, n_k, block_q, block_k):
+    """(dq-side, dkv-side) truncated grid extents from the user hint.
+
+    The hint bounds *k blocks overlapped per q block*.  The dkv kernel's
+    inner grid iterates q blocks per k block — for ``block_q == block_k``
+    (self-attention packing, where q and kv share one layout) the overlap
+    matrix is symmetric so the same bound holds; for unequal block sizes
+    convert via positions: a q block sharing a segment with k block ``ik``
+    has its (contiguous, sorted-packing) k span inside
+    ``[ik-hint+1, ik+hint-1]`` k blocks, i.e. a ``(2*hint-1)*block_k``
+    position window, which ``ceil(.../block_q)+1`` q blocks intersect.
+    Over-estimates only cost clamped (DMA-elided) grid steps."""
+    hint = int(hint)
+    if block_q == block_k:
+        nq_side = hint
+    else:
+        nq_side = _cdiv((2 * hint - 1) * block_k, block_q) + 1
+    return min(n_k, hint), min(n_q, nq_side)
 
 
 def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
@@ -350,8 +364,8 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
                                          lambda bh, iq, ik: (bh, iq, ik)))
         args.append(bias_b)
     if has_seg:
-        seg_args, _ = _seg_inputs(segment_ids, b, h, lq, lk,
-                                  block_q, block_k)
+        seg_args = _seg_inputs(segment_ids, b, h, lq, lk,
+                                block_q, block_k)
         args += seg_args
         in_specs += [
             pl.BlockSpec((1, block_q, 1),
@@ -424,10 +438,14 @@ def flash_attention(q, k, v, bias=None, segment_ids=None,
     q block's segments can overlap (for sorted packing of sequences up to
     ``max_len``: ceil(max_len/block_k) + 1).  Truncates the kernel grid to
     that many k steps per q block, making packed attention time
-    O(L·max_len) instead of O(L²).  Validated against the actual layout
-    when segment_ids are concrete; under jit the caller's bound is
-    trusted — an undersized hint drops attention mass.  Incompatible with
-    ``bias``.
+    O(L·max_len) instead of O(L²).  The backward dkv grid needs the
+    transposed bound (q blocks per k block) — equal to the hint when
+    ``block_q == block_k`` (self-attention packing has a symmetric block
+    overlap matrix), derived conservatively from it otherwise
+    (``_seg_grid_extents``).  Both bounds are validated against the actual
+    layout when segment_ids are concrete; under jit the caller's hint is
+    trusted — an undersized hint drops attention mass / gradient mass.
+    Incompatible with ``bias``.
     """
     out, _ = _flash_fwd(q, k, v, bias, segment_ids, causal,
                         q.shape[-1] ** -0.5 if scale is None else scale,
@@ -617,8 +635,8 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
             raise ValueError(
                 "seg_max_kv_blocks with bias is unsupported (dbias tiles "
                 "outside the truncated grid would stay unwritten)")
-        grid_nk_dq = min(n_k, int(seg_max_kv_blocks))
-        grid_nq_dkv = min(n_q, int(seg_max_kv_blocks))
+        grid_nk_dq, grid_nq_dkv = _seg_grid_extents(
+            seg_max_kv_blocks, n_q, n_k, block_q, block_k)
         remap = grid_nk_dq < n_k or grid_nq_dkv < n_q
 
     def sig(f):
@@ -659,13 +677,14 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
                 (1, block_q, block_k), lambda bh, ik, iq: (bh, iq, ik)))
     scalar_dq, scalar_dkv = [], []
     if has_seg:
-        seg_args, _ = _seg_inputs(segment_ids, b, h, lq, lk,
-                                  block_q, block_k)
+        seg_args = _seg_inputs(segment_ids, b, h, lq, lk,
+                                block_q, block_k)
         extra_args += seg_args
         q_lo, q_hi, k_lo, k_hi = _seg_block_ranges(seg_args[2], seg_args[3])
         if remap:
             _check_seg_hint(q_lo, q_hi, grid_nk_dq, segment_ids)
-            _check_seg_hint(k_lo, k_hi, grid_nq_dkv, segment_ids)
+            _check_seg_hint(k_lo, k_hi, grid_nq_dkv, segment_ids,
+                            axis="q blocks per k block")
         scalar_dq, scalar_dkv = [q_lo, q_hi], [k_lo, k_hi]
         extra_dq_specs += [
             pl.BlockSpec((1, block_q, 1),

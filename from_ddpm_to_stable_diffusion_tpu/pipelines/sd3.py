@@ -285,6 +285,8 @@ class SD3Inferencer:
         from ..ops.schedules import sd3_sigma_schedule
 
         m = self.models
+        if not 0.0 < denoise_strength <= 1.0:
+            raise ValueError("denoise_strength must be in (0, 1]")
         sigmas = sd3_sigma_schedule(steps, self.shift)
         start = int(steps * (1.0 - denoise_strength))
         sigmas = sigmas[start:]

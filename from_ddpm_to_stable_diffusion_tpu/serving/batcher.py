@@ -28,18 +28,24 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+import random
 import threading
 import time
 from typing import Callable, Optional, Sequence
 
 import numpy as np
 
+# server-picked seeds for seed=None requests: fresh, non-reproducible,
+# no collision with any client's explicit small-integer seed in practice
+_SEED_PICKER = random.SystemRandom()
+
 
 @dataclasses.dataclass
 class GenerateRequest:
-    """One image request. ``seed=None`` lets the server pick (non-reproducible);
-    an explicit seed is honored per-sample regardless of batch composition
-    (see SD1Generator per-sample seeds)."""
+    """One image request. ``seed=None`` lets the server draw a fresh random
+    seed for the request (non-reproducible); an explicit seed is honored
+    per-sample regardless of batch composition (see SD1Generator
+    per-sample seeds)."""
 
     prompt: str
     negative_prompt: str = ""
@@ -79,6 +85,15 @@ GenerateFn = Callable[[Sequence[str], Sequence[str], Sequence[Optional[int]]],
 _SHUTDOWN = object()
 
 
+@dataclasses.dataclass
+class _WarmupBatch:
+    """An indivisible bucket-sized compile request: submitted as ONE worker
+    item so the coalescing window cannot split it into smaller buckets."""
+
+    bucket: int
+    prompt: str
+
+
 class DynamicBatcher:
     def __init__(self, generate_fn: GenerateFn,
                  buckets: Sequence[int] = (1, 2, 4, 8),
@@ -109,19 +124,25 @@ class DynamicBatcher:
         try:
             self._q.put_nowait((request, fut, time.monotonic()))
         except queue.Full:
+            with self._lock:
+                self._metrics["failed"] += 1
             fut._fail(RuntimeError("server overloaded: request queue full"))
         return fut
 
     def warmup(self, buckets: Optional[Sequence[int]] = None,
                prompt: str = "") -> None:
         """Pre-compile each bucket's executable before serving traffic.
-        Runs on the caller's thread THROUGH the queue so the worker remains
-        the only thread driving the generator."""
+        Each bucket goes through the queue as ONE indivisible
+        ``_WarmupBatch`` item (the worker remains the only thread driving
+        the generator, and the coalescing window cannot split the batch —
+        b single requests could race it and leave the bucket uncompiled)."""
         for b in buckets or self.buckets:
-            futs = [self.submit(GenerateRequest(prompt=prompt, seed=0))
-                    for _ in range(b)]
-            for f in futs:
-                f.result()
+            if b not in self.buckets:
+                raise ValueError(f"unknown bucket {b}; have {self.buckets}")
+            fut = Future()
+            self._q.put((_WarmupBatch(int(b), prompt), fut,
+                         time.monotonic()))
+            fut.result()
 
     def metrics(self) -> dict:
         with self._lock:
@@ -143,10 +164,14 @@ class DynamicBatcher:
     # -------------------------------------------------------------- worker
 
     def _loop(self):
+        stash = []  # warmup item dequeued mid-coalesce; handled next round
         while True:
-            item = self._q.get()
+            item = stash.pop() if stash else self._q.get()
             if item is _SHUTDOWN:
                 return
+            if isinstance(item[0], _WarmupBatch):
+                self._run_warmup(item)
+                continue
             batch = [item]
             stop = False
             deadline = time.monotonic() + self.max_wait_s
@@ -160,10 +185,23 @@ class DynamicBatcher:
                 if nxt is _SHUTDOWN:
                     stop = True
                     break
+                if isinstance(nxt[0], _WarmupBatch):
+                    stash.append(nxt)
+                    break
                 batch.append(nxt)
             self._run(batch)
             if stop:
                 return
+
+    def _run_warmup(self, item):
+        wb, fut, _ = item
+        try:
+            self.generate_fn([wb.prompt] * wb.bucket, [""] * wb.bucket,
+                             [0] * wb.bucket)
+        except BaseException as e:  # noqa: BLE001
+            fut._fail(e)
+            return
+        fut._fulfil(None)
 
     def _run(self, batch):
         n = len(batch)
@@ -175,7 +213,8 @@ class DynamicBatcher:
             images = self.generate_fn(
                 [r.prompt for r in padded],
                 [r.negative_prompt for r in padded],
-                [r.seed for r in padded])
+                [r.seed if r.seed is not None
+                 else _SEED_PICKER.randrange(1 << 31) for r in padded])
             images = np.asarray(images)
             if images.shape[0] != bucket:
                 raise RuntimeError(

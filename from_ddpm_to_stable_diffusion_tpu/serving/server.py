@@ -71,6 +71,8 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
                 prompt = payload["prompt"]
             except (KeyError, ValueError, json.JSONDecodeError):
                 self._send_json(

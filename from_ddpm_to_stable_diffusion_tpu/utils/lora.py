@@ -34,19 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.sharding import _path_str
+
 # Default targets: attention + MLP projection kernels (the standard LoRA
 # placement) — same families the TP rules shard (parallel/sharding.py).
 DEFAULT_TARGETS = re.compile(
     r"(qkv|/q|/k|/v|out|proj|fc1|fc2|geglu_in|geglu_out|mlp_fc1|mlp_fc2"
     r"|wi_0|wi_1|wo)[^/]*/kernel$")
-
-
-def _path_str(keypath) -> str:
-    parts = []
-    for k in keypath:
-        name = getattr(k, "key", None) or getattr(k, "idx", None) or str(k)
-        parts.append(str(name))
-    return "/".join(parts)
 
 
 def init_lora(rng, params, rank: int = 8,

@@ -251,6 +251,34 @@ def test_flash_seg_max_kv_blocks_hint_exact(causal):
                                    atol=3e-4, rtol=1e-3)
 
 
+def test_flash_seg_hint_asymmetric_blocks_grads_exact():
+    """Regression: with block_q != block_k the dkv kernel's grid bound is
+    the TRANSPOSED overlap count (q blocks per k block), not the user's
+    k-per-q hint — an unconverted hint silently truncated dk/dv.  Traced
+    segment ids (jit args) bypass the concrete-layout check, so this
+    exercises the trusted-hint path."""
+    n_seq, seq_len, d = 4, 384, 32
+    l = n_seq * seq_len
+    q, k, v = (_rand((1, 2, l, d), 60 + i) for i in range(3))
+    seg = jnp.repeat(jnp.arange(n_seq, dtype=jnp.int32), seq_len)[None]
+    cot = _rand(q.shape, 64)
+
+    def f(hint):
+        @jax.jit
+        def g(q, k, v, seg):
+            return (flash_attention(
+                q, k, v, segment_ids=(seg, seg), block_q=128, block_k=384,
+                interpret=INTERPRET, seg_max_kv_blocks=hint) * cot).sum()
+        return g
+
+    # hint per the docstring formula: ceil(384/384)+1 = 2 (q side)
+    got = jax.grad(f(2), argnums=(0, 1, 2))(q, k, v, seg)
+    want = jax.grad(f(None), argnums=(0, 1, 2))(q, k, v, seg)
+    for gg, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(w),
+                                   atol=3e-4, rtol=1e-3)
+
+
 def test_flash_seg_hint_validation():
     """Concrete segment ids + an undersized hint must raise, not silently
     drop attention; bias + hint is rejected outright."""
@@ -279,8 +307,8 @@ def test_seg_block_bounds_and_skip_logic():
     q_ids = jnp.concatenate([jnp.zeros(192, jnp.int32),
                              jnp.ones(64, jnp.int32)])[None]
     kv_ids = q_ids[:, :248]
-    args, specs = _seg_inputs((q_ids, kv_ids), b=1, h=2, lq=256, lk=248,
-                              block_q=128, block_k=128)
+    args = _seg_inputs((q_ids, kv_ids), b=1, h=2, lq=256, lk=248,
+                       block_q=128, block_k=128)
     q_bounds, kv_bounds = args[2], args[3]
     assert q_bounds.shape == (1, 2, 2) and kv_bounds.shape == (1, 2, 2)
     np.testing.assert_array_equal(np.asarray(q_bounds),

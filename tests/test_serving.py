@@ -127,6 +127,41 @@ def test_queue_full_rejects():
         except RuntimeError:
             errors += 1
     assert errors >= 1  # at least one rejected by the bounded queue
+    # rejections must reconcile: requests == served + failed (queue drained)
+    m = b.metrics()
+    assert m["failed"] == errors
+    assert m["requests"] == m["served"] + m["failed"]
+    b.shutdown()
+
+
+def test_warmup_compiles_exact_buckets():
+    """warmup(b) must reach the generator as ONE bucket-b call — the
+    coalescing window cannot split it (race: b queued singles could batch
+    as < b and leave the real bucket uncompiled)."""
+    gen = FakeGen()
+    # max_wait_ms=0: any per-request submission would batch as singles
+    b = make_batcher(gen, max_wait_ms=0.0)
+    b.warmup()
+    sizes = sorted(len(p) for p, _, _ in gen.calls)
+    assert sizes == [1, 2, 4]
+    # warmup traffic stays out of the request metrics
+    m = b.metrics()
+    assert m["requests"] == 0 and m["served"] == 0 and m["batches"] == 0
+    with pytest.raises(ValueError, match="unknown bucket"):
+        b.warmup(buckets=(3,))
+    b.shutdown()
+
+
+def test_none_seed_draws_fresh_random_seed():
+    """seed=None: the server draws a fresh seed per request — two identical
+    None-seed requests must NOT reuse one deterministic derived seed."""
+    gen = FakeGen()
+    b = make_batcher(gen)
+    b.submit(GenerateRequest("x")).result(timeout=5)
+    b.submit(GenerateRequest("x")).result(timeout=5)
+    seeds = [s for _, _, ss in gen.calls for s in ss]
+    assert all(s is not None for s in seeds)
+    assert seeds[0] != seeds[1]  # P(collision) = 2^-31
     b.shutdown()
 
 
@@ -181,6 +216,11 @@ def test_http_health_metrics_and_errors(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url, {"prompt": "x", "seed": "one"})
     assert e.value.code == 400
+    # valid JSON that is not an object must 400, not drop the connection
+    for body in ([1, 2, 3], "str", 5):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, body)
+        assert e.value.code == 400
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(url + "/nope", timeout=10)
     assert e.value.code == 404

@@ -142,21 +142,32 @@ def bench_sd1_batch(gen, bs: int, iters: int = 2):
     return ips
 
 
-def bench_sd3_denoise_step(iters: int = 10):
+def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
     """SD3-medium MMDiT denoise step at the reference op point: 1024×1024
-    (4096 latent + 154 context tokens joint attention), CFG ×2, bf16."""
+    (4096 latent + 154 context tokens joint attention), CFG ×2, bf16 —
+    or the W8A8 int8 serving path (``int8=True``, ops/quantize.py)."""
+    import dataclasses
+
     from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
                                                                 MMDiTConfig)
 
-    cfg = MMDiTConfig(depth=24, pos_embed_max_size=192)
+    cfg = MMDiTConfig(depth=24, pos_embed_max_size=192, int8_mm=int8)
     model = MMDiT(cfg, dtype=jnp.bfloat16)
     x = jnp.zeros((2, 128, 128, 16))
     t = jnp.zeros((2,))
     y = jnp.zeros((2, 2048))
     ctx = jnp.zeros((2, 154, 4096))
-    params = jax.jit(model.init)(jax.random.key(0), x, t, y, ctx)
+    base = MMDiT(dataclasses.replace(cfg, int8_mm=False), dtype=jnp.bfloat16)
+    params = jax.jit(base.init)(jax.random.key(0), x, t, y, ctx)
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
-    print(f"[bench] MMDiT-medium params: {n:,}", file=sys.stderr)
+    if int8:
+        from from_ddpm_to_stable_diffusion_tpu.ops.quantize import (
+            quantize_tree)
+
+        params = {"params": jax.jit(quantize_tree, donate_argnums=0)(
+            params["params"])}
+    print(f"[bench] MMDiT-medium params: {n:,}"
+          + (" (int8 projections)" if int8 else ""), file=sys.stderr)
 
     @jax.jit
     def denoise(params, xt, sigma):
@@ -177,7 +188,8 @@ def bench_sd3_denoise_step(iters: int = 10):
         xt = denoise(params, xt, jnp.float32(1.0 - i * 0.02))
     float(jnp.sum(xt))
     ms = (time.perf_counter() - t0) / iters * 1e3
-    print(f"[bench] sd3 denoise step: {ms:.1f} ms", file=sys.stderr)
+    print(f"[bench] sd3 denoise step{' int8' if int8 else ''}: "
+          f"{ms:.1f} ms", file=sys.stderr)
     return ms
 
 
@@ -186,6 +198,7 @@ def main():
     sd1_imgs_per_sec, sd1_step_ms, sd1_bs4_ips, sd1_bs8_ips = \
         bench_sd1_pipeline()
     sd3_step_ms = bench_sd3_denoise_step()
+    sd3_int8_ms = bench_sd3_denoise_step(int8=True)
     imgs_per_sec, step_ms = bench_tiny_sd_train()
     print(json.dumps({
         "metric": "sd1_pipeline_imgs_per_sec_512px_50step_cfg_bf16",
@@ -197,6 +210,7 @@ def main():
             "sd1_pipeline_bs4_imgs_per_sec": round(sd1_bs4_ips, 4),
             "sd1_pipeline_bs8_imgs_per_sec": round(sd1_bs8_ips, 4),
             "sd3_medium_denoise_step_ms_1024px_cfg_bf16": round(sd3_step_ms, 2),
+            "sd3_medium_denoise_step_ms_1024px_cfg_int8": round(sd3_int8_ms, 2),
             "tiny_sd_train_imgs_per_sec": round(imgs_per_sec, 2),
             "tiny_sd_train_step_ms": round(step_ms, 2),
         },

@@ -38,6 +38,12 @@ def main(argv=None):
     g.add_argument("--merges", default=None, help="CLIP merges.txt")
     g.add_argument("--spm", default=None,
                    help="T5 SentencePiece model file (spiece.model)")
+    g.add_argument("--int8", action="store_true",
+                   help="W8A8 int8 MMDiT+T5 projections: ~1.09x denoise "
+                        "step and halved hot-weight HBM — the full "
+                        "SD3-medium stack (incl. T5-XXL) stays RESIDENT "
+                        "on one 16GB chip, no per-prompt phase offload "
+                        "(docs/SD3_16GB.md)")
     g.add_argument("--offload-text-encoders", action="store_true",
                    help="free CLIP/T5 HBM after conditioning (16GB plan)")
     g.add_argument("--tp", type=int, default=1,
@@ -104,6 +110,10 @@ def main(argv=None):
               "mode)", file=sys.stderr)
         models = SD3Models.initialize(jax.random.key(0), depth=4,
                                       pos_embed_max_size=96, with_t5=False)
+    if args.int8:
+        print("[sd3] quantizing MMDiT/T5 projections to int8 (W8A8)",
+              file=sys.stderr)
+        models.quantize_int8()
 
     tokenizer = None
     if args.vocab and args.merges:

@@ -85,12 +85,22 @@ class DismantledBlock(nn.Module):
     qk_norm: Optional[str] = None
     scale_mod_only: bool = False
     dtype: Dtype = jnp.float32
+    int8_mm: bool = False   # W8A8 serving path for the FLOPs-mass denses
 
     def setup(self):
         hs = self.hidden_size
         self.head_dim = hs // self.num_heads
-        self.qkv = nn.Dense(3 * hs, use_bias=self.qkv_bias, dtype=self.dtype,
-                            name="qkv")
+        if self.int8_mm:
+            from ..ops.quantize import QuantDense
+
+            # same layer names as the bf16 path → param paths line up
+            # with quantize_tree's output (adaLN stays bf16: small and
+            # modulation-critical)
+            dense = QuantDense
+        else:
+            dense = nn.Dense
+        self.qkv = dense(3 * hs, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="qkv")
         self.ln_q = QKNorm(self.qk_norm, self.head_dim, name="ln_q")
         self.ln_k = QKNorm(self.qk_norm, self.head_dim, name="ln_k")
         if self.scale_mod_only:
@@ -99,11 +109,11 @@ class DismantledBlock(nn.Module):
             n_mods = 2 if self.pre_only else 6
         self.adaLN = nn.Dense(n_mods * hs, dtype=self.dtype, name="adaLN")
         if not self.pre_only:
-            self.proj = nn.Dense(hs, dtype=self.dtype, name="proj")
+            self.proj = dense(hs, dtype=self.dtype, name="proj")
             mlp_hidden = int(hs * self.mlp_ratio)
-            self.mlp_fc1 = nn.Dense(mlp_hidden, dtype=self.dtype,
-                                    name="mlp_fc1")
-            self.mlp_fc2 = nn.Dense(hs, dtype=self.dtype, name="mlp_fc2")
+            self.mlp_fc1 = dense(mlp_hidden, dtype=self.dtype,
+                                 name="mlp_fc1")
+            self.mlp_fc2 = dense(hs, dtype=self.dtype, name="mlp_fc2")
 
     def _mods(self, c):
         m = self.adaLN(jax.nn.silu(c))
@@ -168,15 +178,17 @@ class JointBlock(nn.Module):
     mesh: Optional[object] = None
     seq_axis: str = "seq"
     seq_impl: str = "ring"   # 'ring' | 'ulysses' (when mesh is set)
+    int8_mm: bool = False
 
     def setup(self):
         self.context_block = DismantledBlock(
             self.hidden_size, self.num_heads, self.mlp_ratio, self.qkv_bias,
             pre_only=self.context_pre_only, qk_norm=self.qk_norm,
-            dtype=self.dtype)
+            dtype=self.dtype, int8_mm=self.int8_mm)
         self.x_block = DismantledBlock(
             self.hidden_size, self.num_heads, self.mlp_ratio, self.qkv_bias,
-            pre_only=False, qk_norm=self.qk_norm, dtype=self.dtype)
+            pre_only=False, qk_norm=self.qk_norm, dtype=self.dtype,
+            int8_mm=self.int8_mm)
 
     def __call__(self, context, x, c):
         ctx_qkv, ctx_state = self.context_block.pre_attention(context, c)
@@ -231,6 +243,9 @@ class MMDiTConfig:
     # (sequence-parallel over a mesh axis; pass mesh= to MMDiT — see
     # docs/RING_SCALING.md for the crossover analysis)
     attention_impl: str = "flash"
+    # W8A8 int8 MXU path for the joint-block projections (serving only;
+    # params must come from ops.quantize.quantize_tree)
+    int8_mm: bool = False
 
     @property
     def hidden_size(self) -> int:
@@ -280,7 +295,7 @@ class MMDiT(nn.Module):
                 hs, cfg.depth, cfg.mlp_ratio, cfg.qkv_bias,
                 context_pre_only=(i == cfg.depth - 1), qk_norm=cfg.qk_norm,
                 dtype=self.dtype, mesh=sp_mesh, seq_axis=self.seq_axis,
-                seq_impl=cfg.attention_impl,
+                seq_impl=cfg.attention_impl, int8_mm=cfg.int8_mm,
                 name=f"joint_block{i}")(context, xe, c)
 
         # final adaLN layer → (B, L, p²·C)

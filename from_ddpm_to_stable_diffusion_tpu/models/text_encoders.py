@@ -33,6 +33,15 @@ from .layers import LayerNorm, SelfAttention
 Dtype = Any
 
 
+def _dense_cls(int8_mm: bool):
+    """nn.Dense, or the W8A8 QuantDense serving path (ops/quantize.py)."""
+    if int8_mm:
+        from ..ops.quantize import QuantDense
+
+        return QuantDense
+    return nn.Dense
+
+
 # --------------------------------------------------------------------------
 # Generic CLIP text model with intermediate tap
 # --------------------------------------------------------------------------
@@ -124,6 +133,12 @@ class T5Config:
     num_heads: int = 64
     rel_buckets: int = 32
     rel_max_distance: int = 128
+    # W8A8 int8 projections (serving residency: T5-XXL 9.5→4.8 GiB, the
+    # enabler for the all-resident SD3 mode — docs/SD3_16GB.md). Params
+    # must come from ops.quantize.quantize_tree. Caveat: T5-XXL-scale
+    # activation outliers can stress per-token symmetric quantization;
+    # validate against real weights before production use.
+    int8_mm: bool = False
 
 
 def t5_relative_position_bucket(relative_position, num_buckets: int = 32,
@@ -150,10 +165,11 @@ class T5Attention(nn.Module):
     @nn.compact
     def __call__(self, x, past_bias=None):
         cfg = self.config
+        dense = _dense_cls(cfg.int8_mm)
         inner = cfg.d_model
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="v")(x)
+        q = dense(inner, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = dense(inner, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = dense(inner, use_bias=False, dtype=self.dtype, name="v")(x)
         if self.has_relative_bias:
             L = x.shape[1]
             rel = (jnp.arange(L)[None, :] - jnp.arange(L)[:, None])
@@ -165,8 +181,8 @@ class T5Attention(nn.Module):
             past_bias = jnp.transpose(table[bucket], (2, 0, 1))[None]
         out = multi_head_attention(q, k, v, cfg.num_heads, bias=past_bias,
                                    scale=1.0)  # T5: unscaled logits
-        return (nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
-                         name="o")(out), past_bias)
+        return (dense(cfg.d_model, use_bias=False, dtype=self.dtype,
+                      name="o")(out), past_bias)
 
 
 class T5Block(nn.Module):
@@ -184,13 +200,14 @@ class T5Block(nn.Module):
         x = x + h
         scale2 = self.param("ln2_scale", nn.initializers.ones, (cfg.d_model,))
         h = rms_norm(x, scale2, eps=1e-6)
+        dense = _dense_cls(cfg.int8_mm)
         gelu = jax.nn.gelu(
-            nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype,
-                     name="wi_0")(h), approximate=True)
-        linear = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype,
-                          name="wi_1")(h)
-        h = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
-                     name="wo")(gelu * linear)
+            dense(cfg.d_ff, use_bias=False, dtype=self.dtype,
+                  name="wi_0")(h), approximate=True)
+        linear = dense(cfg.d_ff, use_bias=False, dtype=self.dtype,
+                       name="wi_1")(h)
+        h = dense(cfg.d_model, use_bias=False, dtype=self.dtype,
+                  name="wo")(gelu * linear)
         return x + h, past_bias
 
 

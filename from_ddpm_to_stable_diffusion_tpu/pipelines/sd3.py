@@ -169,6 +169,38 @@ class SD3Models:
         return cls(mmdit, vae_e, vae_d, clip_l, clip_g, t5,
                    _store_params(params, dt))
 
+    def quantize_int8(self, groups=("mmdit", "t5")) -> "SD3Models":
+        """Switch groups to the W8A8 int8 serving path (ops/quantize.py).
+
+        Rebuilds the module defs with ``int8_mm=True`` and converts the
+        matching projection kernels to {int8 q, fp32 scale} in place.
+        MMDiT int8 measures 1.085x the bf16 step on a v5e
+        (tools/bench_sd3_int8.py); the T5/MMDiT HBM halving is what makes
+        the ALL-RESIDENT SD3-medium serving mode fit one 16 GB chip
+        (T5-XXL 9.5→4.8 GiB — docs/SD3_16GB.md), removing the per-prompt
+        phase offload entirely. CLIPs/VAE stay bf16 (small).
+        """
+        from ..ops.quantize import quantize_tree
+
+        for g in groups:
+            if g not in self.params:
+                continue
+            if g == "mmdit":
+                cfg = dataclasses.replace(self.mmdit.config, int8_mm=True)
+                self.mmdit = MMDiT(cfg, dtype=self.mmdit.dtype,
+                                   mesh=self.mmdit.mesh,
+                                   seq_axis=self.mmdit.seq_axis)
+            elif g == "t5":
+                if self.t5 is None:
+                    continue
+                cfg = dataclasses.replace(self.t5.config, int8_mm=True)
+                self.t5 = T5Encoder(cfg, dtype=self.t5.dtype)
+            else:
+                raise ValueError(f"int8 not supported for group '{g}'")
+            self.params[g] = jax.jit(quantize_tree,
+                                     donate_argnums=0)(self.params[g])
+        return self
+
     def free(self, *names: str) -> None:
         """Drop param groups and delete their device buffers — the TPU
         equivalent of the reference's ``model.cpu()`` phase offload

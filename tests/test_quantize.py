@@ -1,0 +1,195 @@
+"""W8A8 int8 serving path: quantization math, QuantDense ≡ Dense within
+quantization tolerance, MMDiT int8_mm end-to-end closeness.
+
+Scheme rationale + on-chip speedups: ops/quantize.py docstring,
+tools/probe_int8.py (1.4-1.5x over bf16 on MMDiT-shaped matmuls).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from from_ddpm_to_stable_diffusion_tpu.ops.quantize import (
+    QuantDense, int8_dot, quantize_per_channel, quantize_tree)
+
+
+def test_quantize_per_channel_roundtrip():
+    w = jax.random.normal(jax.random.key(0), (64, 48)) \
+        * jnp.logspace(-2, 1, 48)  # wild per-channel spread
+    q, s = quantize_per_channel(w, axis=0)
+    assert q.dtype == jnp.int8 and s.shape == (48,)
+    assert int(jnp.max(jnp.abs(q.astype(jnp.int32)))) <= 127
+    back = q.astype(jnp.float32) * s
+    # per-channel scales absorb the spread: max error ≤ scale/2 per channel
+    err = jnp.max(jnp.abs(back - w), axis=0)
+    assert bool(jnp.all(err <= s * 0.5 + 1e-7))
+
+
+def test_int8_dot_accuracy():
+    kx, kw = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (4, 96, 256))
+    w = jax.random.normal(kw, (256, 128)) / 16.0
+    q, s = quantize_per_channel(w, axis=0)
+    got = int8_dot(x, q, s)
+    want = x @ w
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, rel   # ~0.5% typical for gaussian W8A8
+
+
+def test_int8_dot_never_overflows_symmetric_range():
+    # adversarial activation: one huge outlier per row still yields |q|<=127
+    x = jnp.full((2, 8, 32), 1e-3).at[:, :, 0].set(1e4)
+    w = jnp.eye(32)
+    q, s = quantize_per_channel(w, axis=0)
+    out = int8_dot(x, q, s)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_allclose(np.asarray(out[:, :, 0]), 1e4, rtol=1e-2)
+
+
+def test_quant_dense_matches_dense_within_tolerance():
+    dense = nn.Dense(64)
+    x = jax.random.normal(jax.random.key(2), (3, 40, 96))
+    params = dense.init(jax.random.key(3), x)["params"]
+    want = dense.apply({"params": params}, x)
+
+    qparams = quantize_tree({"kernel": params["kernel"],
+                             "bias": params["bias"]},
+                            targets=__import__("re").compile("kernel$"))
+    qd = QuantDense(64, dtype=jnp.float32)
+    got = qd.apply({"params": qparams}, x)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, rel
+
+
+def test_quantize_tree_targets_and_passthrough():
+    params = {
+        "joint_block0": {"qkv": {"kernel": jnp.ones((8, 24)),
+                                 "bias": jnp.zeros(24)},
+                         "adaLN": {"kernel": jnp.ones((8, 48)),
+                                   "bias": jnp.zeros(48)}},
+        "final_linear": {"kernel": jnp.ones((8, 4)), "bias": jnp.zeros(4)},
+    }
+    out = quantize_tree(params)
+    # targeted: qkv → {q, scale, bias}
+    assert set(out["joint_block0"]["qkv"]) == {"q", "scale", "bias"}
+    assert out["joint_block0"]["qkv"]["q"].dtype == jnp.int8
+    # untargeted: adaLN + final_linear keep their fp kernels
+    assert "kernel" in out["joint_block0"]["adaLN"]
+    assert "kernel" in out["final_linear"]
+
+
+def test_mmdit_int8_mm_close_to_bf16():
+    """Full tiny MMDiT: the int8 path's params come from quantize_tree of
+    the bf16 tree; outputs must agree closely (serving-quality bar)."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+
+    cfg = MMDiTConfig(depth=2, in_channels=4, adm_in_channels=8,
+                      context_dim=16, pos_embed_max_size=16)
+    model = MMDiT(cfg, dtype=jnp.float32)
+    qmodel = MMDiT(
+        __import__("dataclasses").replace(cfg, int8_mm=True),
+        dtype=jnp.float32)
+    kx, kt, ky, kc, ki = jax.random.split(jax.random.key(4), 5)
+    x = jax.random.normal(kx, (2, 8, 8, 4))
+    t = jnp.asarray([1.0, 500.0])
+    y = jax.random.normal(ky, (2, 8))
+    ctx = jax.random.normal(kc, (2, 6, 16))
+    params = model.init(ki, x, t, y, ctx)["params"]
+    want = model.apply({"params": params}, x, t, y, ctx)
+
+    qparams = quantize_tree(params)
+    got = qmodel.apply({"params": qparams}, x, t, y, ctx)
+    assert got.shape == want.shape
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.05, rel
+    # and the quantized tree actually stores int8 for the hot kernels
+    assert qparams["joint_block0"]["x_block"]["qkv"]["q"].dtype == jnp.int8
+    assert qparams["joint_block0"]["x_block"]["mlp_fc1"]["q"].dtype \
+        == jnp.int8
+
+
+def test_t5_int8_close_to_fp():
+    import dataclasses
+
+    from from_ddpm_to_stable_diffusion_tpu.models.text_encoders import (
+        T5Config, T5Encoder)
+
+    cfg = T5Config(vocab_size=64, d_model=32, d_ff=64, num_layers=2,
+                   num_heads=4)
+    enc = T5Encoder(cfg, dtype=jnp.float32)
+    qenc = T5Encoder(dataclasses.replace(cfg, int8_mm=True),
+                     dtype=jnp.float32)
+    toks = jnp.arange(12, dtype=jnp.int32)[None] % 64
+    params = enc.init(jax.random.key(6), toks)["params"]
+    want = enc.apply({"params": params}, toks)
+    qparams = quantize_tree(params)
+    got = qenc.apply({"params": qparams}, toks)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.05, rel
+    # q/k/v/o + wi_0/wi_1/wo all quantized; rel-bias + embeddings untouched
+    blk = qparams["block0"]
+    assert blk["attn"]["q"]["q"].dtype == jnp.int8
+    assert blk["wo"]["q"].dtype == jnp.int8
+    assert "embedding" in qparams["embed_tokens"]
+
+
+def test_sd3_models_quantize_int8_end_to_end():
+    """SD3Models.quantize_int8 keeps the whole prompt→image path working
+    (tiny op point) and converts the hot kernels in place."""
+    from from_ddpm_to_stable_diffusion_tpu.models.text_encoders import (
+        CLIPTextConfig, T5Config)
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import (
+        SD3Inferencer, SD3Models)
+
+    models = SD3Models.initialize(
+        jax.random.key(7), dtype="fp32", depth=2, pos_embed_max_size=16,
+        clip_l_cfg=CLIPTextConfig(vocab_size=64, hidden_size=768,
+                                  num_layers=2, num_heads=4),
+        clip_g_cfg=CLIPTextConfig(vocab_size=64, hidden_size=1280,
+                                  num_layers=2, num_heads=4,
+                                  hidden_act="gelu"),
+        t5_config=T5Config(vocab_size=64, d_model=4096, d_ff=64,
+                           num_layers=1, num_heads=4))
+    models.quantize_int8()
+    assert models.mmdit.config.int8_mm and models.t5.config.int8_mm
+    q = models.params["mmdit"]["joint_block0"]["x_block"]["qkv"]["q"]
+    assert q.dtype == jnp.int8
+
+    inf = SD3Inferencer(models)
+    ids = np.zeros((1, 77), np.int32)
+    ctx, pooled = inf.get_cond(jnp.asarray(ids), jnp.asarray(ids),
+                               clip_g_tokens=jnp.asarray(ids))
+    latent = jnp.zeros((1, 8, 8, 16))
+    out = inf.denoise(latent, ctx, pooled, ctx, pooled, steps=2, seed=3)
+    assert out.shape == latent.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_quantized_params_init_shapes_match_converter():
+    """qmodel.init's placeholder tree and quantize_tree's output must have
+    identical structure/shapes/dtypes — the contract that lets converted
+    params apply through the int8 module tree."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+
+    cfg = MMDiTConfig(depth=2, in_channels=4, adm_in_channels=8,
+                      context_dim=16, pos_embed_max_size=16)
+    model = MMDiT(cfg, dtype=jnp.float32)
+    qmodel = MMDiT(
+        __import__("dataclasses").replace(cfg, int8_mm=True),
+        dtype=jnp.float32)
+    kx = jax.random.key(5)
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,))
+    y = jnp.zeros((1, 8))
+    ctx = jnp.zeros((1, 6, 16))
+    params = model.init(kx, x, t, y, ctx)["params"]
+    qinit = qmodel.init(kx, x, t, y, ctx)["params"]
+    qconv = quantize_tree(params)
+    si = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), qinit)
+    sc = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), qconv)
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_equal(si, sc)

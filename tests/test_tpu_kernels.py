@@ -202,3 +202,19 @@ def test_mmdit_flow_train_step_on_chip():
         r.normal(size=(2, 16)).astype(np.float32),
         jax.random.key(0))
     assert np.isfinite(float(loss))
+
+
+def test_int8_dot_on_chip():
+    """The W8A8 path (ops/quantize.py) lowers to the int8 MXU on the real
+    chip and stays accurate (serving path for --int8 SD3)."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.quantize import (
+        int8_dot, quantize_per_channel)
+
+    kx, kw = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(kx, (256, 512), jnp.bfloat16)
+    w = jax.random.normal(kw, (512, 384), jnp.float32) / 16.0
+    q, s = quantize_per_channel(w, axis=0)
+    got = np.asarray(jax.jit(int8_dot)(x, q, s), np.float32)
+    want = np.asarray(x, np.float32) @ np.asarray(w)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.03, rel

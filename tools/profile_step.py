@@ -128,15 +128,52 @@ def build_tiny():
     return run
 
 
+def build_sd3(int8: bool):
+    import dataclasses
+
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+    from from_ddpm_to_stable_diffusion_tpu.ops.quantize import quantize_tree
+
+    cfg = MMDiTConfig(depth=24, pos_embed_max_size=192, int8_mm=int8)
+    model = MMDiT(cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((2, 128, 128, 16))
+    t = jnp.zeros((2,))
+    y = jnp.zeros((2, 2048))
+    ctx = jnp.zeros((2, 154, 4096))
+    base = MMDiT(dataclasses.replace(cfg, int8_mm=False), dtype=jnp.bfloat16)
+    params = jax.jit(base.init)(jax.random.key(0), x, t, y, ctx)["params"]
+    if int8:
+        params = jax.jit(quantize_tree)(params)
+
+    @jax.jit
+    def denoise(params, xt, sigma):
+        tt = jnp.broadcast_to(sigma * 1000.0, (2,))
+        out = model.apply({"params": params}, xt, tt, y, ctx)
+        den = xt - out * sigma
+        pos, neg = jnp.split(den, 2, axis=0)
+        return jnp.concatenate([neg + (pos - neg) * 5.0] * 2, axis=0)
+
+    state = [jax.random.normal(jax.random.key(1), (2, 128, 128, 16))]
+
+    def run():
+        state[0] = denoise(params, state[0], jnp.float32(0.7))
+        jax.block_until_ready(state[0])
+
+    return run
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", choices=["sd1", "tiny"])
+    ap.add_argument("target", choices=["sd1", "tiny", "sd3", "sd3i8"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--log-dir", default="/tmp/fdsd_profile")
     args = ap.parse_args()
 
-    run = build_sd1() if args.target == "sd1" else build_tiny()
+    run = {"sd1": build_sd1, "tiny": build_tiny,
+           "sd3": lambda: build_sd3(False),
+           "sd3i8": lambda: build_sd3(True)}[args.target]()
     per_cat, per_op, total = profile(run, args.iters, args.log_dir)
 
     print(f"== {args.target}: device op time {total / args.iters:.2f} ms/step "

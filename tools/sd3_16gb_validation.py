@@ -15,6 +15,12 @@ Memory discipline:
   the checkpoint-loading order a 16GB deployment must use.
 
 Usage: python tools/sd3_16gb_validation.py [--steps 50] [--res 1024]
+                                           [--int8]
+
+``--int8``: the ALL-RESIDENT serving mode — MMDiT + T5 projections are
+W8A8 int8 (ops/quantize.py), shrinking the param sum from ~15.6 GiB bf16
+to ~9.5 GiB, so every model stays on-chip for the whole run and a second
+prompt re-encodes WITHOUT re-initializing anything (no phase offload).
 """
 
 from __future__ import annotations
@@ -52,16 +58,23 @@ def report(phase):
           f"GiB", flush=True)
 
 
-def jit_init_bf16(model, *args):
-    """One program: init + cast-to-bf16 — fp32 values never co-reside."""
+def jit_init_bf16(model, *args, int8=False):
+    """One program: init + cast-to-bf16 (+ optional int8 quantization) —
+    fp32 init values never co-reside as a whole tree."""
 
     def g(key):
         params = model.init(key, *args)["params"]
-        return jax.tree_util.tree_map(
+        params = jax.tree_util.tree_map(
             lambda p: (p.astype(jnp.bfloat16)
                        if p.ndim >= 1 and jnp.issubdtype(p.dtype,
                                                          jnp.floating)
                        else p), params)
+        if int8:
+            from from_ddpm_to_stable_diffusion_tpu.ops.quantize import (
+                quantize_tree)
+
+            params = quantize_tree(params)
+        return params
 
     return jax.jit(g)(jax.random.key(0))
 
@@ -70,6 +83,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 MMDiT+T5; keep ALL models resident")
     args = ap.parse_args()
     n_params = lambda t: sum(int(np.prod(p.shape))
                              for p in jax.tree_util.tree_leaves(t))
@@ -81,11 +96,12 @@ def main():
                            dtype=jnp.bfloat16)
     clip_g = CLIPTextModel(CLIP_G_CONFIG, intermediate_output=-2,
                            dtype=jnp.bfloat16)
-    t5 = T5Encoder(T5Config(), dtype=jnp.bfloat16)
+    t5 = T5Encoder(T5Config(int8_mm=args.int8), dtype=jnp.bfloat16)
     toks = jnp.zeros((1, 77), jnp.int32)
     p_l = jit_init_bf16(clip_l, toks)
     p_g = jit_init_bf16(clip_g, toks)
-    p_t5 = jit_init_bf16(t5, toks)
+    p_t5 = jit_init_bf16(T5Encoder(T5Config(), dtype=jnp.bfloat16), toks,
+                         int8=args.int8)
     print(f"[sd3-16gb] text encoders: CLIP-L {n_params(p_l)/1e6:.0f}M  "
           f"CLIP-G {n_params(p_g)/1e6:.0f}M  T5 {n_params(p_t5)/1e9:.2f}B  "
           f"(init {time.perf_counter()-t0:.0f}s)", flush=True)
@@ -104,21 +120,27 @@ def main():
         (ctx, pooled, neg_ctx, neg_pooled))  # host copies survive the free
     report("conditioning computed")
 
-    # ---- free text encoders (the reference's .cpu() offload) ------------
-    for tree in (p_l, p_g, p_t5):
-        for leaf in jax.tree_util.tree_leaves(tree):
-            leaf.delete()
-    del p_l, p_g, p_t5
-    report("text encoders freed")
+    if args.int8:
+        report("text encoders stay resident (int8 mode)")
+    else:
+        # ---- free text encoders (the reference's .cpu() offload) --------
+        for tree in (p_l, p_g, p_t5):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                leaf.delete()
+        del p_l, p_g, p_t5
+        report("text encoders freed")
 
     # ---- phase 2: MMDiT-medium denoise ---------------------------------
     t0 = time.perf_counter()
-    cfg = MMDiTConfig(depth=24, pos_embed_max_size=192)
+    cfg = MMDiTConfig(depth=24, pos_embed_max_size=192, int8_mm=args.int8)
     mmdit = MMDiT(cfg, dtype=jnp.bfloat16)
     h8 = args.res // 8
     x0 = jnp.zeros((2, h8, h8, 16))
-    p_mm = jit_init_bf16(mmdit, x0, jnp.zeros((2,)), jnp.zeros((2, 2048)),
-                         jnp.zeros((2, 154, 4096)))
+    p_mm = jit_init_bf16(
+        MMDiT(MMDiTConfig(depth=24, pos_embed_max_size=192),
+              dtype=jnp.bfloat16),
+        x0, jnp.zeros((2,)), jnp.zeros((2, 2048)),
+        jnp.zeros((2, 154, 4096)), int8=args.int8)
     print(f"[sd3-16gb] MMDiT {n_params(p_mm)/1e9:.2f}B "
           f"(init {time.perf_counter()-t0:.0f}s)", flush=True)
     report("MMDiT resident")
@@ -154,20 +176,39 @@ def main():
           f"on first)", flush=True)
     report("denoise done")
 
-    # ---- phase 3: free MMDiT, decode ------------------------------------
-    for leaf in jax.tree_util.tree_leaves(p_mm):
-        leaf.delete()
-    del p_mm
-    report("MMDiT freed")
+    # ---- phase 3: decode (MMDiT freed first unless all-resident) --------
+    if args.int8:
+        report("MMDiT stays resident (int8 mode)")
+    else:
+        for leaf in jax.tree_util.tree_leaves(p_mm):
+            leaf.delete()
+        del p_mm
+        report("MMDiT freed")
     vae_d = SD3VAEDecoder(dtype=jnp.bfloat16)
     z = SD3LatentFormat.process_out(jnp.asarray(x))
     p_vd = jit_init_bf16(vae_d, z)
     img = jax.jit(lambda p, z: vae_d.apply({"params": p}, z))(p_vd, z)
     img = jax.device_get(img)
     report("decode done")
-    print(f"[sd3-16gb] image {img.shape} OK — full SD3-medium stack "
-          f"(incl. T5-XXL) served from one 16GB chip via phase offload",
-          flush=True)
+    if args.int8:
+        # the serving payoff: a second prompt goes straight to encode +
+        # denoise — every model is still on-chip, nothing re-initializes
+        t0 = time.perf_counter()
+        _ = jax.device_get(
+            enc(p_l, p_g, p_t5, jnp.full((1, 77), 2, jnp.int32)))
+        x2 = step(p_mm, jnp.asarray(x),
+                  jnp.float32(sigmas[-2]), jnp.float32(sigmas[-1]))
+        jax.device_get(x2)
+        report("second prompt encode+step (all resident)")
+        print(f"[sd3-16gb] second-prompt turnaround (encode + 1 step, no "
+              f"reload): {time.perf_counter()-t0:.2f}s", flush=True)
+        print(f"[sd3-16gb] image {img.shape} OK — full SD3-medium stack "
+              f"(incl. T5-XXL) ALL-RESIDENT on one 16GB chip via int8 "
+              f"(no phase offload)", flush=True)
+    else:
+        print(f"[sd3-16gb] image {img.shape} OK — full SD3-medium stack "
+              f"(incl. T5-XXL) served from one 16GB chip via phase offload",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from ..ops import embeddings as emb_ops
 from ..ops.attention import multi_head_attention
 from ..ops.groupnorm import group_norm, layer_norm
 from ..ops.image import upsample_nearest_2x
+from ..ops.quantize import dense_cls as _dense_cls
 
 Dtype = Any
 
@@ -68,17 +69,19 @@ class SelfAttention(nn.Module):
     out_bias: bool = True
     causal: bool = False
     dtype: Dtype = jnp.float32
+    int8_mm: bool = False   # W8A8 serving path (ops/quantize.py)
 
     @nn.compact
     def __call__(self, x, bias=None):
+        dense = _dense_cls(self.int8_mm)
         c = x.shape[-1]
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)
+        qkv = dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         out = multi_head_attention(q, k, v, self.num_heads, bias=bias,
                                    causal=self.causal)
-        return nn.Dense(c, use_bias=self.out_bias, dtype=self.dtype,
-                        name="out")(out)
+        return dense(c, use_bias=self.out_bias, dtype=self.dtype,
+                     name="out")(out)
 
 
 class CrossAttention(nn.Module):
@@ -87,17 +90,19 @@ class CrossAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = False
     dtype: Dtype = jnp.float32
+    int8_mm: bool = False
 
     @nn.compact
     def __call__(self, x, context):
+        dense = _dense_cls(self.int8_mm)
         c = x.shape[-1]
         if context.ndim == 2:  # single context token (tiny-UNet label emb)
             context = context[:, None, :]
-        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(context)
-        v = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(context)
+        q = dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
+        k = dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(context)
+        v = dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(context)
         out = multi_head_attention(q, k, v, self.num_heads)
-        return nn.Dense(c, use_bias=True, dtype=self.dtype, name="out")(out)
+        return dense(c, use_bias=True, dtype=self.dtype, name="out")(out)
 
 
 class TimestepEmbedder(nn.Module):
@@ -178,6 +183,7 @@ class TransformerBlock(nn.Module):
     head_dim: int = 128
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    int8_mm: bool = False
 
     @nn.compact
     def __call__(self, x, context, deterministic: bool = True):
@@ -188,16 +194,19 @@ class TransformerBlock(nn.Module):
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, c)
 
-        y = SelfAttention(heads, dtype=self.dtype, name="attn1")(
+        y = SelfAttention(heads, dtype=self.dtype, name="attn1",
+                          int8_mm=self.int8_mm)(
             LayerNorm(name="norm1")(y)) + y
-        y = CrossAttention(heads, dtype=self.dtype, name="attn2")(
+        y = CrossAttention(heads, dtype=self.dtype, name="attn2",
+                           int8_mm=self.int8_mm)(
             LayerNorm(name="norm2")(y), context) + y
 
         z = LayerNorm(name="norm3")(y)
-        z = nn.Dense(8 * c, dtype=self.dtype, name="geglu_in")(z)
+        dense = _dense_cls(self.int8_mm)
+        z = dense(8 * c, dtype=self.dtype, name="geglu_in")(z)
         z, gate = jnp.split(z, 2, axis=-1)
         z = z * jax.nn.gelu(gate)
-        z = nn.Dense(c, dtype=self.dtype, name="geglu_out")(z)
+        z = dense(c, dtype=self.dtype, name="geglu_out")(z)
         y = y + z
 
         y = y.reshape(b, h, w, c)

@@ -112,6 +112,7 @@ class SD1UNet(nn.Module):
     context_dim: int = 768
     num_heads: int = 8
     dtype: Dtype = jnp.float32
+    int8_mm: bool = False   # W8A8 attention/GEGLU projections (serving)
 
     @nn.compact
     def __call__(self, x, context, time_feat):
@@ -126,7 +127,8 @@ class SD1UNet(nn.Module):
         t = nn.Dense(4 * ch, dtype=dt, name="time_fc2")(t)
 
         res = lambda c, nm: SD1ResBlock(c, dtype=dt, name=nm)
-        att = lambda nm: TransformerBlock(self.num_heads, dtype=dt, name=nm)
+        att = lambda nm: TransformerBlock(self.num_heads, dtype=dt, name=nm,
+                                          int8_mm=self.int8_mm)
         down = lambda c, nm: nn.Conv(c, (3, 3), strides=2, dtype=dt, name=nm)
         up = lambda nm: nm  # placeholder for readability
 

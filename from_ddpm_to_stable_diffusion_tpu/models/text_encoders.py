@@ -33,13 +33,7 @@ from .layers import LayerNorm, SelfAttention
 Dtype = Any
 
 
-def _dense_cls(int8_mm: bool):
-    """nn.Dense, or the W8A8 QuantDense serving path (ops/quantize.py)."""
-    if int8_mm:
-        from ..ops.quantize import QuantDense
-
-        return QuantDense
-    return nn.Dense
+from ..ops.quantize import dense_cls as _dense_cls  # noqa: E402
 
 
 # --------------------------------------------------------------------------

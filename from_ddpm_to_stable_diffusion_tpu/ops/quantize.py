@@ -40,8 +40,12 @@ from ..parallel.sharding import _path_str
 
 # the DismantledBlock FLOPs mass (models/mmdit.py) + T5 FF/attention
 # projections (models/text_encoders.py)
+# "/proj" not bare "proj": SD1ResBlock's tiny time_proj (M=B rows) must
+# stay bf16; "out" covers SD1 attention out + geglu_out (proj_out is a
+# conv — 4-D kernels are never quantized)
 DEFAULT_TARGETS = re.compile(
-    r"(qkv|proj|mlp_fc1|mlp_fc2|wi_0|wi_1|wo|/q|/k|/v|/o)/kernel$")
+    r"(qkv|/proj|out|geglu_in|mlp_fc1|mlp_fc2|wi_0|wi_1|wo"
+    r"|/q|/k|/v|/o)/kernel$")
 
 
 def quantize_per_channel(w, axis: int = 0):
@@ -98,6 +102,11 @@ class QuantDense(nn.Module):
                               (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
         return y
+
+
+def dense_cls(int8_mm: bool):
+    """nn.Dense, or QuantDense for the W8A8 serving path."""
+    return QuantDense if int8_mm else nn.Dense
 
 
 def quantize_tree(params, targets: Optional[Pattern] = None):

@@ -110,6 +110,26 @@ class SD1Models:
         }
         return cls(clip, unet, encoder, decoder, _store_params(params, dt))
 
+    def quantize_int8(self) -> "SD1Models":
+        """Switch the UNet's attention/GEGLU projections to the W8A8 int8
+        serving path (ops/quantize.py). MEASURED SLOWER on SD1 at bs1 on a
+        v5e: 25.1 vs 21.4 ms/step (tools/bench_sd1_int8.py) — the UNet's
+        per-layer matmuls are small-K (320–1280) so the dynamic-quant VPU
+        pass outweighs the MXU gain, unlike MMDiT/SD3 where int8 wins
+        (docs/SD3_16GB.md). Kept for the HBM halving (420 MB) when UNet
+        residency matters, and for larger-batch serving where the matmul
+        share grows. Quantize BEFORE constructing an SD1Generator (its
+        jitted step closes over the module def)."""
+        from ..ops.quantize import quantize_tree
+
+        self.unet = SD1UNet(model_channels=self.unet.model_channels,
+                            context_dim=self.unet.context_dim,
+                            num_heads=self.unet.num_heads,
+                            dtype=self.unet.dtype, int8_mm=True)
+        self.params["unet"] = jax.jit(quantize_tree, donate_argnums=0)(
+            self.params["unet"])
+        return self
+
 
 def generate(
     prompts: Sequence[str],

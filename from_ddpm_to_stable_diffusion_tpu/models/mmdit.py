@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import attention_blhd
+from ..ops.attention import attention_blhd, joint_attention_blhd
 from ..ops.embeddings import crop_pos_embed, timestep_embedding
 from ..ops.groupnorm import layer_norm, rms_norm
 
@@ -194,11 +194,22 @@ class JointBlock(nn.Module):
         ctx_qkv, ctx_state = self.context_block.pre_attention(context, c)
         x_qkv, x_state = self.x_block.pre_attention(x, c)
         lc = context.shape[1]
-        # joint sequence along L: (B, Lc+Lx, H, D) — one attention call,
-        # heads indexed by BlockSpec (no transpose materializes)
+        if self.mesh is None:
+            # split-KV joint attention: no stream concat, no alignment
+            # padding on the dominant x×x call (ops/attention.py::
+            # joint_attention_blhd) — exact vs the concatenated call
+            ctx_attn, x_attn = joint_attention_blhd(ctx_qkv, x_qkv)
+            b, _, h, d = x_attn.shape
+            ctx_attn = ctx_attn.reshape(b, lc, h * d)
+            x_attn = x_attn.reshape(b, -1, h * d)
+            new_context = (None if self.context_pre_only
+                           else self.context_block.post_attention(ctx_attn,
+                                                                  ctx_state))
+            return new_context, self.x_block.post_attention(x_attn, x_state)
+        # sequence-parallel path: one joint sequence over the mesh axis
         q, k, v = (jnp.concatenate([cq, xq], axis=1)
                    for cq, xq in zip(ctx_qkv, x_qkv))
-        if self.mesh is not None:
+        if True:
             from ..parallel.ring_attention import (ring_attention,
                                                    ulysses_attention)
 
@@ -216,10 +227,6 @@ class JointBlock(nn.Module):
                      kv_valid_len=l_actual)[:, :, :l_actual]
             b, h, l, d = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
-        else:
-            out = attention_blhd(q, k, v)
-            b, l, h, d = out.shape
-            out = out.reshape(b, l, h * d)
         ctx_attn, x_attn = out[:, :lc], out[:, lc:]
         new_context = (None if self.context_pre_only
                        else self.context_block.post_attention(ctx_attn,

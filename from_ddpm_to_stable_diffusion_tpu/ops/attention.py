@@ -128,3 +128,34 @@ def multi_head_attention(
         v.reshape(b, lk, num_heads, d),
         bias=bias, causal=causal, **kw)
     return out.reshape(b, lq, dm)
+
+
+def joint_attention_blhd(ctx_qkv, x_qkv, interpret: bool = False):
+    """MMDiT joint attention over [context ‖ x] WITHOUT concatenating the
+    streams: split-KV lse-merged flash calls (see
+    flash_attention.joint_flash_attention). Inputs are (q, k, v) triples in
+    (B, L, H, D); returns (ctx_out, x_out) in the same layout.
+
+    Why: at SD3-medium's op point (154+4096 tokens) single-call flash pads
+    the joint length to 5120 on both axes — 31% wasted logit work at the
+    per-logit-bound op point — plus three concat copies per block. The
+    decomposition's dominant call (x×x, 4096²) is perfectly block-aligned
+    and takes the kernels' no-mask fast path. Differentiable (custom VJP
+    mirrors ring attention's global-lse backward).
+    """
+    t = lambda a: a.transpose(0, 2, 1, 3)
+    qc, kc, vc = (t(a) for a in ctx_qkv)
+    qx, kx, vx = (t(a) for a in x_qkv)
+    d = qx.shape[-1]
+    if _flash_eligible(qx, kx, vx, None) or interpret:
+        from .flash_attention import joint_flash_attention
+
+        oc, ox = joint_flash_attention(qc, kc, vc, qx, kx, vx, d ** -0.5,
+                                       interpret=interpret)
+    else:  # CPU / short-seq path: concatenate + XLA (numerics oracle)
+        lc = qc.shape[2]
+        q, k, v = (jnp.concatenate(ab, axis=2)
+                   for ab in ((qc, qx), (kc, kx), (vc, vx)))
+        out = _xla_attention(q, k, v, None, False, d ** -0.5)
+        oc, ox = out[:, :, :lc], out[:, :, lc:]
+    return t(oc), t(ox)

@@ -1013,17 +1013,25 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    # the per-logit mask is ~3 VPU ops on a ~6-op softmax budget; skip it
+    # statically when nothing can mask (no causal, no valid_len, and the
+    # k extent is block-aligned so no padded tail exists) — the fast path
+    # for the aligned x×x call of joint_flash_attention
+    no_mask = (not causal and valid_len is None
+               and lk_actual % block_k == 0)
+
     @pl.when(run)
     def _compute():
         s = jax.lax.dot_general(
             _ld(q_ref, block_q, d), _ld(k_ref, block_k, d),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec) * scale
-        mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref, causal=causal,
-                         valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
-                         lk_actual=lk_actual, block_q=block_q,
-                         block_k=block_k)
-        s = jnp.where(mask, s, NEG_INF)
+        if not no_mask:
+            mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref,
+                             causal=causal, valid_len=valid_len, seg_q=seg_q,
+                             seg_k=seg_k, lk_actual=lk_actual,
+                             block_q=block_q, block_k=block_k)
+            s = jnp.where(mask, s, NEG_INF)
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
@@ -1129,18 +1137,25 @@ def _bwd_dq_kernel_pos(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    no_mask = (not causal and valid_len is None
+               and lk_actual % block_k == 0)  # see _fwd_kernel_pos
+
     @pl.when(run)
     def _():
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec) * scale
-        mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref, causal=causal,
-                         valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
-                         lk_actual=lk_actual, block_q=block_q,
-                         block_k=block_k)
         # p is normalized by the GLOBAL lse (computed across all hops), so
-        # per-hop dq contributions just add up.
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
+        # per-hop dq contributions just add up. (Padded q rows carry
+        # lse = 1e30 -> p = 0 without any mask.)
+        if no_mask:
+            p = jnp.exp(s - lse_ref[0])
+        else:
+            mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref,
+                             causal=causal, valid_len=valid_len, seg_q=seg_q,
+                             seg_k=seg_k, lk_actual=lk_actual,
+                             block_q=block_q, block_k=block_k)
+            p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
         dp = jax.lax.dot_general(
             g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
@@ -1175,16 +1190,22 @@ def _bwd_dkv_kernel_pos(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    no_mask = (not causal and valid_len is None
+               and lk_actual % block_k == 0)  # see _fwd_kernel_pos
+
     @pl.when(run)
     def _():
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec) * scale
-        mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref, causal=causal,
-                         valid_len=valid_len, seg_q=seg_q, seg_k=seg_k,
-                         lk_actual=lk_actual, block_q=block_q,
-                         block_k=block_k)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
+        if no_mask:
+            p = jnp.exp(s - lse_ref[0])
+        else:
+            mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref,
+                             causal=causal, valid_len=valid_len, seg_q=seg_q,
+                             seg_k=seg_k, lk_actual=lk_actual,
+                             block_q=block_q, block_k=block_k)
+            p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
         acc_dv[:] += jax.lax.dot_general(
             p.astype(g_ref.dtype), g_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
@@ -1289,3 +1310,85 @@ def flash_bwd_pos(q, k, v, g, lse, delta, q_offsets, kv_offsets, *,
     dk = dk[:, :lk].reshape(b, h, lk, d)
     dv = dv[:, :lk].reshape(b, h, lk, d)
     return dq, dk, dv
+
+
+# --------------------------------------------------------------------------
+# Split-KV joint attention (MMDiT context‖latent without the alignment tax)
+# --------------------------------------------------------------------------
+# SD3's joint sequence is Lc+Lx = 154+4096 = 4250 tokens: as ONE flash call
+# it pads to 5120 on both axes (block 1024), wasting 31% of the logit work
+# — and the per-logit (softmax/VPU) cost is what bounds this op point
+# (tools/probe_joint_attn.py: D=128/H=12 halves the time at equal matmul
+# FLOPs). Decomposing over the KV and Q splits gives four calls whose big
+# one (x×x, 4096²) is perfectly block-aligned — total logit work is 1.046×
+# the ideal instead of 1.31× — and the partials merge EXACTLY through their
+# log-sum-exps (same math as ring attention's hop merge). Backward mirrors
+# the ring: each partial's Pallas backward runs under the GLOBAL lse/delta
+# and the dq/dk/dv contributions sum.
+
+
+def merge_attention_partials(o1, lse1, o2, lse2):
+    """Exactly combine two attention partials via their log-sum-exps."""
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.exp(lse1 - m)
+    w2 = jnp.exp(lse2 - m)
+    denom = w1 + w2
+    out = (o1 * (w1 / denom)[..., None].astype(o1.dtype)
+           + o2 * (w2 / denom)[..., None].astype(o2.dtype))
+    return out, m + jnp.log(denom)
+
+
+def _joint_fwd_impl(qc, kc, vc, qx, kx, vx, scale, block_q, block_k,
+                    interpret):
+    z = jnp.zeros((2,), jnp.int32)
+    f = functools.partial(flash_attention_pos, scale=scale, block_q=block_q,
+                          block_k=block_k, interpret=interpret)
+    o_cc, l_cc = f(qc, kc, vc, z, z)
+    o_cx, l_cx = f(qc, kx, vx, z, z)
+    o_c, lse_c = merge_attention_partials(o_cc, l_cc, o_cx, l_cx)
+    o_xc, l_xc = f(qx, kc, vc, z, z)
+    o_xx, l_xx = f(qx, kx, vx, z, z)
+    o_x, lse_x = merge_attention_partials(o_xc, l_xc, o_xx, l_xx)
+    return o_c, o_x, lse_c, lse_x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def joint_flash_attention(qc, kc, vc, qx, kx, vx, scale, block_q=1024,
+                          block_k=1024, interpret=False):
+    """Joint attention over [context ‖ x] without concatenation or
+    alignment padding. All tensors (B, H, L, D); returns (out_c, out_x) —
+    each query stream attends over BOTH kv streams, bit-exact (up to fp
+    reassociation) with flash over the concatenated sequence."""
+    o_c, o_x, _, _ = _joint_fwd_impl(qc, kc, vc, qx, kx, vx, scale,
+                                     block_q, block_k, interpret)
+    return o_c, o_x
+
+
+def _joint_vjp_fwd(qc, kc, vc, qx, kx, vx, scale, block_q, block_k,
+                   interpret):
+    o_c, o_x, lse_c, lse_x = _joint_fwd_impl(
+        qc, kc, vc, qx, kx, vx, scale, block_q, block_k, interpret)
+    return (o_c, o_x), (qc, kc, vc, qx, kx, vx, o_c, o_x, lse_c, lse_x)
+
+
+def _joint_vjp_bwd(scale, block_q, block_k, interpret, res, g):
+    qc, kc, vc, qx, kx, vx, o_c, o_x, lse_c, lse_x = res
+    g_c, g_x = g
+    z = jnp.zeros((2,), jnp.int32)
+    bwd = functools.partial(flash_bwd_pos, scale=scale, block_q=block_q,
+                            block_k=block_k, interpret=interpret)
+    delta_c = jnp.sum(g_c.astype(jnp.float32) * o_c.astype(jnp.float32),
+                      axis=-1)
+    delta_x = jnp.sum(g_x.astype(jnp.float32) * o_x.astype(jnp.float32),
+                      axis=-1)
+    dqc1, dkc1, dvc1 = bwd(qc, kc, vc, g_c, lse_c, delta_c, z, z)
+    dqc2, dkx1, dvx1 = bwd(qc, kx, vx, g_c, lse_c, delta_c, z, z)
+    dqx1, dkc2, dvc2 = bwd(qx, kc, vc, g_x, lse_x, delta_x, z, z)
+    dqx2, dkx2, dvx2 = bwd(qx, kx, vx, g_x, lse_x, delta_x, z, z)
+    add = lambda a, b: (a.astype(jnp.float32)
+                        + b.astype(jnp.float32)).astype(a.dtype)
+    return (add(dqc1, dqc2), add(dkc1, dkc2), add(dvc1, dvc2),
+            add(dqx1, dqx2), add(dkx1, dkx2), add(dvx1, dvx2))
+
+
+joint_flash_attention.defvjp(_joint_vjp_fwd, _joint_vjp_bwd)

@@ -66,15 +66,8 @@ def _attention_with_lse(q, k, v, scale, kv_mask=None):
     return out, lse
 
 
-def _merge_partials(o1, lse1, o2, lse2):
-    """Combine two attention partial sums with their log-sum-exps."""
-    m = jnp.maximum(lse1, lse2)
-    w1 = jnp.exp(lse1 - m)
-    w2 = jnp.exp(lse2 - m)
-    denom = w1 + w2
-    out = (o1 * (w1 / denom)[..., None].astype(o1.dtype)
-           + o2 * (w2 / denom)[..., None].astype(o2.dtype))
-    return out, m + jnp.log(denom)
+from ..ops.flash_attention import (  # noqa: E402 — canonical lse merge
+    merge_attention_partials as _merge_partials)
 
 
 def zigzag_order(l: int, n: int):

@@ -174,7 +174,7 @@ class SD3Models:
 
         Rebuilds the module defs with ``int8_mm=True`` and converts the
         matching projection kernels to {int8 q, fp32 scale} in place.
-        MMDiT int8 measures 1.085x the bf16 step on a v5e
+        MMDiT int8 measures 1.12x the bf16 step on a v5e
         (tools/bench_sd3_int8.py); the T5/MMDiT HBM halving is what makes
         the ALL-RESIDENT SD3-medium serving mode fit one 16 GB chip
         (T5-XXL 9.5→4.8 GiB — docs/SD3_16GB.md), removing the per-prompt

@@ -416,3 +416,39 @@ def test_flash_bwd_pos_matches_autodiff_oracle():
     want = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip((dq, dk, dv), want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+@pytest.mark.parametrize("lc,lx", [(26, 256), (154, 512)])
+def test_joint_flash_attention_exact(lc, lx):
+    """Split-KV joint attention (4 lse-merged calls) ≡ flash over the
+    concatenated sequence — fwd and grads, at misaligned context lengths
+    (the SD3 154+4096 shape class)."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        joint_flash_attention)
+
+    b, h, d = 2, 3, 32
+    qc, kc, vc = (_rand((b, h, lc, d), 40 + i) for i in range(3))
+    qx, kx, vx = (_rand((b, h, lx, d), 44 + i) for i in range(3))
+    cot_c = _rand((b, h, lc, d), 48)
+    cot_x = _rand((b, h, lx, d), 49)
+
+    def f(qc, kc, vc, qx, kx, vx):
+        oc, ox = joint_flash_attention(qc, kc, vc, qx, kx, vx, d ** -0.5,
+                                       block_q=128, block_k=128,
+                                       interpret=INTERPRET)
+        return (oc * cot_c).sum() + (ox * cot_x).sum()
+
+    def f_ref(qc, kc, vc, qx, kx, vx):
+        q, k, v = (jnp.concatenate(ab, axis=2)
+                   for ab in ((qc, qx), (kc, kx), (vc, vx)))
+        out = _xla_attention(q, k, v, None, False, d ** -0.5)
+        return (out[:, :, :lc] * cot_c).sum() + (out[:, :, lc:] * cot_x).sum()
+
+    np.testing.assert_allclose(float(f(qc, kc, vc, qx, kx, vx)),
+                               float(f_ref(qc, kc, vc, qx, kx, vx)),
+                               rtol=2e-4)
+    got = jax.grad(f, argnums=tuple(range(6)))(qc, kc, vc, qx, kx, vx)
+    want = jax.grad(f_ref, argnums=tuple(range(6)))(qc, kc, vc, qx, kx, vx)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=3e-4, rtol=1e-3)

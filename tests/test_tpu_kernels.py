@@ -218,3 +218,26 @@ def test_int8_dot_on_chip():
     want = np.asarray(x, np.float32) @ np.asarray(w)
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 0.03, rel
+
+
+def test_joint_flash_attention_on_chip_exact():
+    """Split-KV joint attention ≡ single concatenated flash call on the
+    real chip (the SD3 154+4096 shape class, scaled down)."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        flash_attention, joint_flash_attention)
+
+    b, h, d, lc, lx = 1, 4, 64, 154, 1024
+    r = np.random.default_rng(3)
+    qc, kc, vc = (jnp.asarray(r.standard_normal((b, h, lc, d)),
+                              jnp.bfloat16) for _ in range(3))
+    qx, kx, vx = (jnp.asarray(r.standard_normal((b, h, lx, d)),
+                              jnp.bfloat16) for _ in range(3))
+    oc, ox = jax.jit(joint_flash_attention, static_argnums=(6, 7, 8, 9))(
+        qc, kc, vc, qx, kx, vx, d ** -0.5, 1024, 1024, False)
+    q = jnp.concatenate([qc, qx], 2)
+    k = jnp.concatenate([kc, kx], 2)
+    v = jnp.concatenate([vc, vx], 2)
+    want = flash_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([oc, ox], 2), np.float32),
+        np.asarray(want, np.float32), atol=2e-2)

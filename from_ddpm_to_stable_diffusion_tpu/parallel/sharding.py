@@ -26,20 +26,29 @@ from .mesh import MODEL_AXIS
 
 # (path regex, spec builder) — first match wins. Paths are '/'-joined flax
 # param paths ending in the leaf name (kernel/bias/scale/embedding/...).
-_COLUMN = re.compile(
-    r"(qkv|/q|/k|/v|fc1|geglu_in|mlp_fc1|wi_0|wi_1|adaLN|time_fc1)[^/]*/kernel$")
-_ROW = re.compile(r"(out|proj|fc2|geglu_out|mlp_fc2|/o|wo|time_fc2)[^/]*/kernel$")
+_COL_FAMS = r"(qkv|/q|/k|/v|fc1|geglu_in|mlp_fc1|wi_0|wi_1|adaLN|time_fc1)"
+_ROW_FAMS = r"(out|proj|fc2|geglu_out|mlp_fc2|/o|wo|time_fc2)"
+_COLUMN = re.compile(_COL_FAMS + r"[^/]*/kernel$")
+_ROW = re.compile(_ROW_FAMS + r"[^/]*/kernel$")
 _COLUMN_BIAS = re.compile(
     r"(qkv|/q|/k|/v|fc1|geglu_in|mlp_fc1|adaLN|time_fc1)[^/]*/bias$")
+# W8A8 layout (ops/quantize.py): kernel → {q int8 (K,N), scale fp32 (N,)}.
+# Same orientation as the kernel; a column layer's per-output scale shards
+# with the output dim, a row layer's stays replicated. Row-parallel
+# int8_dot is exact under GSPMD: the per-token abs-max over the sharded K
+# axis and the int32 partial sums both all-reduce automatically.
+_COLUMN_Q = re.compile(_COL_FAMS + r"[^/]*/q$")
+_ROW_Q = re.compile(_ROW_FAMS + r"[^/]*/q$")
+_COLUMN_SCALE = re.compile(_COL_FAMS + r"[^/]*/scale$")
 
 
 def tp_spec_for_path(path: str) -> P:
     """PartitionSpec for one flax param path under model-axis TP."""
-    if _ROW.search(path):
+    if _ROW.search(path) or _ROW_Q.search(path):
         return P(MODEL_AXIS, None)
-    if _COLUMN.search(path):
+    if _COLUMN.search(path) or _COLUMN_Q.search(path):
         return P(None, MODEL_AXIS)
-    if _COLUMN_BIAS.search(path):
+    if _COLUMN_BIAS.search(path) or _COLUMN_SCALE.search(path):
         return P(MODEL_AXIS)
     return P()  # replicated
 

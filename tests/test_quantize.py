@@ -212,6 +212,82 @@ def test_sd1_generator_int8_pipeline():
     assert img.shape == (1, 64, 64, 3) and img.dtype == np.uint8
 
 
+def test_int8_tp_sharded_mmdit_matches_single_device():
+    """--int8 composes with --tp: the quantized {q, scale} layout gets the
+    kernel's TP specs (parallel/sharding.py) and stays exact — including
+    row-parallel int8_dot, whose per-token abs-max spans the sharded K
+    axis (GSPMD all-reduces it)."""
+    import jax.numpy as jnp
+
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+    from from_ddpm_to_stable_diffusion_tpu.parallel import build_mesh
+    from from_ddpm_to_stable_diffusion_tpu.parallel.sharding import (
+        tp_shardings, tp_spec_for_path)
+
+    cfg = MMDiTConfig(depth=2, pos_embed_max_size=8, int8_mm=True)
+    model = MMDiT(cfg)
+    base = MMDiT(__import__("dataclasses").replace(cfg, int8_mm=False))
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+    t = jnp.asarray([100.0, 500.0])
+    y = jax.random.normal(jax.random.key(1), (2, 2048))
+    ctx = jax.random.normal(jax.random.key(2), (2, 154, 4096))
+    params = quantize_tree(base.init(jax.random.key(3), x, t, y, ctx)
+                           ["params"])
+    want = model.apply({"params": params}, x, t, y, ctx)
+
+    # the quantized leaves actually get TP specs (not silent replication)
+    from jax.sharding import PartitionSpec as P
+    assert tp_spec_for_path("joint_block0/x_block/qkv/q") == P(None, "model")
+    assert tp_spec_for_path("joint_block0/x_block/qkv/scale") == P("model")
+    assert tp_spec_for_path("joint_block0/x_block/proj/q") == P("model",
+                                                                None)
+    assert tp_spec_for_path("joint_block0/x_block/proj/scale") == P()
+    # norm scales must NOT be sharded by the quant rules
+    assert tp_spec_for_path("joint_block0/x_block/ln_q/scale") == P()
+
+    mesh = build_mesh({"data": 2, "model": 4}, jax.devices()[:8])
+    sharded = jax.tree_util.tree_map(
+        jax.device_put, params, tp_shardings(params, mesh))
+    from jax.sharding import NamedSharding
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda p, x: model.apply({"params": p}, x, t, y, ctx))(
+        sharded, xs)
+    # int8_dot itself is exact under both shardings (isolated check below);
+    # at the model level, fp-reassociation differences (~1e-6) in upstream
+    # activations can flip round(x/xs) grid cells, so sharded-vs-single
+    # outputs differ by up to a few quantization steps — bound accordingly.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())
+    assert corr[0, 1] > 0.9999
+
+
+def test_int8_dot_exact_under_tp_shardings():
+    """The op itself is bit-stable under row- and column-parallel layouts
+    (GSPMD all-reduces the per-token abs-max and the int32 partials)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((4, 64, 128)), jnp.float32)
+    w = jnp.asarray(r.standard_normal((128, 96)), jnp.float32) / 8
+    q, s = quantize_per_channel(w, axis=0)
+    want = int8_dot(x, q, s)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("model",))
+    # row-parallel: x and q sharded on K, scale replicated
+    got_row = jax.jit(int8_dot)(
+        jax.device_put(x, NamedSharding(mesh, P(None, None, "model"))),
+        jax.device_put(q, NamedSharding(mesh, P("model", None))),
+        jax.device_put(s, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(np.asarray(got_row), np.asarray(want),
+                               atol=1e-5)
+    # column-parallel: q/scale sharded on N, x replicated
+    got_col = jax.jit(int8_dot)(
+        x, jax.device_put(q, NamedSharding(mesh, P(None, "model"))),
+        jax.device_put(s, NamedSharding(mesh, P("model"))))
+    np.testing.assert_allclose(np.asarray(got_col), np.asarray(want),
+                               atol=1e-5)
+
+
 def test_quantized_params_init_shapes_match_converter():
     """qmodel.init's placeholder tree and quantize_tree's output must have
     identical structure/shapes/dtypes — the contract that lets converted

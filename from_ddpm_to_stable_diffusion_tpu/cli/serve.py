@@ -85,6 +85,9 @@ def _build_sd3(args, mesh):
               "(smoke-test mode)")
         models = SD3Models.initialize(jax.random.key(0), depth=4,
                                       with_t5=False, dtype=args.dtype)
+    if args.int8:
+        print("[serve] int8 serving path: quantizing MMDiT/T5 projections")
+        models.quantize_int8()
 
     tokenizer = None
     if args.vocab and args.merges:
@@ -148,6 +151,10 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--int8", action="store_true",
+                    help="sd3: W8A8 int8 MMDiT/T5 projections — faster "
+                         "denoise and the whole stack stays resident on "
+                         "16GB (docs/SD3_16GB.md); composes with --tp")
     ap.add_argument("--buckets", default="1,2,4,8",
                     help="batch-size ladder; each bucket compiles once")
     ap.add_argument("--max-wait-ms", type=float, default=25.0)

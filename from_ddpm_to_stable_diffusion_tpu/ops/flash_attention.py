@@ -35,6 +35,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _is_pow2(x: float) -> bool:
+    """Exact power of two? Then multiplying any float by it is lossless
+    (exponent shift), so the softmax scale can be folded into the q TILE
+    — (block_q, d) multiplies instead of (block_q, block_k) per-logit ones
+    (~1 of ~5 VPU ops at per-logit-bound op points). head_dim 16/64/256
+    give pow2 scales; SD1's d=40 does not and keeps the per-logit path.
+    """
+    import math
+
+    m, _ = math.frexp(x)
+    return m == 0.5
+
+
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -102,28 +115,37 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
                      if q_ref.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
 
+    prescale = _is_pow2(scale)
+    no_mask = (not causal and qseg_ref is None
+               and lk_actual % block_k == 0)
+
     @pl.when(run)
     def _compute():
         # Feed the MXU in the input dtype (bf16 native pass); accumulate and
         # run the softmax in fp32 via preferred_element_type.
+        qt = _ld(q_ref, block_q, d)
         s = jax.lax.dot_general(
-            _ld(q_ref, block_q, d), _ld(k_ref, block_k, d),
+            qt * jnp.asarray(scale, qt.dtype) if prescale else qt,
+            _ld(k_ref, block_k, d),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=mxu_precision) * scale
+            precision=mxu_precision)
+        if not prescale:
+            s = s * scale
         if bias_ref is not None:
             s = s + _ld(bias_ref, block_q, block_k).astype(jnp.float32)
-        col = k_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = col < lk_actual
-        if causal:
-            row = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, col <= row)
-        if qseg_ref is not None:
-            mask = jnp.logical_and(
-                mask, _seg_mask(qseg_ref, kvseg_ref, block_q, block_k))
-        s = jnp.where(mask, s, NEG_INF)
+        if not no_mask:
+            col = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = col < lk_actual
+            if causal:
+                row = q_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, col <= row)
+            if qseg_ref is not None:
+                mask = jnp.logical_and(
+                    mask, _seg_mask(qseg_ref, kvseg_ref, block_q, block_k))
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -490,25 +512,36 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    prescale = _is_pow2(scale)
+    no_mask = (not causal and qseg_ref is None
+               and lk_actual % block_k == 0)
+
     @pl.when(run)
     def _():
+        qt = q_ref[0]
         s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) * scale
+            qt * jnp.asarray(scale, qt.dtype) if prescale else qt,
+            k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if not prescale:
+            s = s * scale
         if bias_ref is not None:
             s = s + bias_ref[0].astype(jnp.float32)
-        col = k_start + jax.lax.broadcasted_iota(jnp.int32,
-                                                 (block_q, block_k), 1)
-        mask = col < lk_actual
-        if causal:
-            row = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, col <= row)
-        if qseg_ref is not None:
-            mask = jnp.logical_and(
-                mask, _seg_mask(qseg_ref, kvseg_ref, block_q, block_k))
         lse = lse_ref[0]  # (block_q, 1)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        if no_mask:
+            p = jnp.exp(s - lse)  # padded q rows: lse=+inf -> p=0
+        else:
+            col = k_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (block_q, block_k), 1)
+            mask = col < lk_actual
+            if causal:
+                row = q_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, col <= row)
+            if qseg_ref is not None:
+                mask = jnp.logical_and(
+                    mask, _seg_mask(qseg_ref, kvseg_ref, block_q, block_k))
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
@@ -563,11 +596,17 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    prescale = _is_pow2(scale)
+
     @pl.when(run if gated else True)
     def _():
+        qt = q_ref[0]
         s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) * scale
+            qt * jnp.asarray(scale, qt.dtype) if prescale else qt,
+            k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if not prescale:
+            s = s * scale
         if bias_ref is not None:
             s = s + bias_ref[0].astype(jnp.float32)
         # padded q rows carry lse=+inf -> p=0; padded k cols are sliced off
@@ -1020,12 +1059,18 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
     no_mask = (not causal and valid_len is None
                and lk_actual % block_k == 0)
 
+    prescale = _is_pow2(scale)
+
     @pl.when(run)
     def _compute():
+        qt = _ld(q_ref, block_q, d)
         s = jax.lax.dot_general(
-            _ld(q_ref, block_q, d), _ld(k_ref, block_k, d),
+            qt * jnp.asarray(scale, qt.dtype) if prescale else qt,
+            _ld(k_ref, block_k, d),
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) * scale
+            preferred_element_type=jnp.float32, precision=prec)
+        if not prescale:
+            s = s * scale
         if not no_mask:
             mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref,
                              causal=causal, valid_len=valid_len, seg_q=seg_q,
@@ -1140,11 +1185,17 @@ def _bwd_dq_kernel_pos(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     no_mask = (not causal and valid_len is None
                and lk_actual % block_k == 0)  # see _fwd_kernel_pos
 
+    prescale = _is_pow2(scale)
+
     @pl.when(run)
     def _():
+        qt = q_ref[0]
         s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) * scale
+            qt * jnp.asarray(scale, qt.dtype) if prescale else qt,
+            k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if not prescale:
+            s = s * scale
         # p is normalized by the GLOBAL lse (computed across all hops), so
         # per-hop dq contributions just add up. (Padded q rows carry
         # lse = 1e30 -> p = 0 without any mask.)
@@ -1193,11 +1244,17 @@ def _bwd_dkv_kernel_pos(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     no_mask = (not causal and valid_len is None
                and lk_actual % block_k == 0)  # see _fwd_kernel_pos
 
+    prescale = _is_pow2(scale)
+
     @pl.when(run)
     def _():
+        qt = q_ref[0]
         s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) * scale
+            qt * jnp.asarray(scale, qt.dtype) if prescale else qt,
+            k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if not prescale:
+            s = s * scale
         if no_mask:
             p = jnp.exp(s - lse_ref[0])
         else:

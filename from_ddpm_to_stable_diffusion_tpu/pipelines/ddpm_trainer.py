@@ -125,8 +125,11 @@ class DDPMTrainer:
                 self._base_params = replicate(self.mesh, base)
             params = init_lora(jax.random.fold_in(rng, 1), base,
                                rank=self.lora_rank)
+        accum = max(1, getattr(cfg, "grad_accum", 1))
+        # the inner schedule counts OPTIMIZER updates — one per accum window
         lr = schedules.cosine_warmup_lr(cfg.lr, cfg.max_lr, cfg.warmup_epochs,
-                                        cfg.epoch, steps_per_epoch)
+                                        cfg.epoch,
+                                        max(1, steps_per_epoch // accum))
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(lr),
@@ -140,9 +143,19 @@ class DDPMTrainer:
             # rarely divisible by the data axis; per-leaf moments shard
             # exactly like their params).
             tx = optax.flatten(tx)
+        if accum > 1:
+            # average the micro-grads; params (and clipping, which must see
+            # the FULL-batch gradient) update once per window
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        # EMA starts at the params' VALUES but must not alias their
+        # BUFFERS: the donated train step would otherwise donate the same
+        # buffer twice (latent until a step leaves params untouched, e.g.
+        # a grad-accumulation micro-step). One jitted copy program.
+        ema0 = (jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(
+            params) if cfg.ema_decay else None)
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx,
-            ema_params=(params if cfg.ema_decay else None))
+            ema_params=ema0)
         if self.fsdp:
             from ..parallel import fsdp_shardings
 
@@ -199,9 +212,17 @@ class DDPMTrainer:
             state = state.apply_gradients(grads=grads)
             if cfg.ema_decay:
                 d = cfg.ema_decay
+                accum = max(1, getattr(cfg, "grad_accum", 1))
                 new_ema = jax.tree_util.tree_map(
                     lambda e, p: d * e + (1.0 - d) * p,
                     state.ema_params, state.params)
+                if accum > 1:
+                    # params move only on the last micro-step of a window;
+                    # decaying EMA on frozen params would just shrink it
+                    is_update = (state.step % accum) == 0  # step already +1
+                    new_ema = jax.tree_util.tree_map(
+                        lambda n, e: jnp.where(is_update, n, e),
+                        new_ema, state.ema_params)
                 state = state.replace(ema_params=new_ema)
             if self._state_shardings is not None:
                 # pin the updated state back to its ZeRO layout so it is

@@ -119,8 +119,10 @@ class MMDiTTrainer:
                 self._base_params = replicate(self.mesh, base)
             params = init_lora(jax.random.fold_in(rng, 1), base,
                                rank=self.lora_rank)
+        accum = max(1, getattr(cfg, "grad_accum", 1))
         lr = schedules.cosine_warmup_lr(cfg.lr, cfg.max_lr, cfg.warmup_epochs,
-                                        cfg.epoch, steps_per_epoch)
+                                        cfg.epoch,
+                                        max(1, steps_per_epoch // accum))
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
                          optax.adamw(lr))
         if not self.tp and not self.fsdp:
@@ -128,9 +130,19 @@ class MMDiTTrainer:
             # measurement); per-leaf otherwise so moment shardings can
             # follow the param-path / shape rules
             tx = optax.flatten(tx)
+        if accum > 1:
+            # average the micro-grads; one optimizer update per window
+            # (clipping sees the full-window gradient)
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        # EMA starts at the params' VALUES but must not alias their
+        # BUFFERS: the donated train step would otherwise donate the same
+        # buffer twice (latent until a step leaves params untouched, e.g.
+        # a grad-accumulation micro-step). One jitted copy program.
+        ema0 = (jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(
+            params) if cfg.ema_decay else None)
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx,
-            ema_params=(params if cfg.ema_decay else None))
+            ema_params=ema0)
         if self.fsdp and self.tp:
             self._state_shardings = fsdp_tp_shardings(state, self.mesh)
         elif self.fsdp:
@@ -197,9 +209,17 @@ class MMDiTTrainer:
             state = state.apply_gradients(grads=grads)
             if cfg.ema_decay:
                 d = cfg.ema_decay
-                state = state.replace(ema_params=jax.tree_util.tree_map(
+                accum = max(1, getattr(cfg, "grad_accum", 1))
+                new_ema = jax.tree_util.tree_map(
                     lambda e, p: d * e + (1.0 - d) * p,
-                    state.ema_params, state.params))
+                    state.ema_params, state.params)
+                if accum > 1:
+                    # params move only on the window's last micro-step
+                    is_update = (state.step % accum) == 0
+                    new_ema = jax.tree_util.tree_map(
+                        lambda n, e: jnp.where(is_update, n, e),
+                        new_ema, state.ema_params)
+                state = state.replace(ema_params=new_ema)
             if self._state_shardings is not None:
                 # store the updated state in its sharded layout so
                 # donation reuses the input buffers exactly

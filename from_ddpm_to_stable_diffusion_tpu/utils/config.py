@@ -46,6 +46,9 @@ class TinySDConfig:
     data_dir: Optional[str] = None
     mesh_shape: Optional[dict] = None  # e.g. {"data": 8}
     ema_decay: Optional[float] = None
+    # optimizer applies the AVERAGE gradient of this many micro-batches
+    # (optax.MultiSteps) — k× the effective batch at 1× the activation HBM
+    grad_accum: int = 1
 
     @classmethod
     def from_yaml(cls, path: str) -> "TinySDConfig":
@@ -96,6 +99,7 @@ class FlowTrainConfig:
     seed: int = 0
     mesh_shape: Optional[dict] = None
     ema_decay: Optional[float] = None
+    grad_accum: int = 1          # micro-batches per optimizer update
 
     from_yaml = classmethod(lambda cls, path: cls(**yaml.safe_load(open(path))))
 

@@ -111,3 +111,52 @@ def test_preemption_guard_saves_and_stops(tmp_path):
         CheckpointManager)
 
     assert CheckpointManager(str(tmp_path)).latest_step is not None
+
+
+def test_grad_accumulation_window_semantics():
+    """grad_accum=k: params are FROZEN during the first k-1 micro-steps of
+    a window, move on the k-th (optax.MultiSteps averages the window's
+    gradients), EMA only advances when params do, and training still
+    learns."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = TinySDConfig(
+        epoch=4, batch_size=8, img_size=16, img_channel=3, num_class=3,
+        T=10, channel=32, channel_multy=[1, 2, 2, 2], dropout=0.0,
+        lr=1e-4, max_lr=1e-3, warmup_epochs=1, train_rand=0.0, w=1.8,
+        dtype="fp32", seed=0, grad_accum=2, ema_decay=0.9)
+    trainer = DDPMTrainer(cfg)
+    ds = SyntheticImageDataset(n=16, img_size=16, num_classes=3)
+    loader = DataLoader(ds, batch_size=8, seed=0)
+    state = trainer.create_state(steps_per_epoch=len(loader))
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    rng = jax.random.key(1)
+    batches = list(loader)
+
+    # micro-step 1: accumulating — params and EMA must NOT move
+    state, _ = trainer.train_step(state, *batches[0], rng)
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    e1 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(p0))
+
+    # micro-step 2: window closes — params move, EMA follows
+    state, _ = trainer.train_step(state, *batches[1], rng)
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    e2 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.array_equal(np.asarray(p2), np.asarray(p0))
+    np.testing.assert_allclose(
+        np.asarray(e2), 0.9 * np.asarray(p0) + 0.1 * np.asarray(p2),
+        rtol=1e-6)
+
+    # still learns end to end
+    losses = []
+    for _ in range(4):
+        for images, labels in loader:
+            state, loss = trainer.train_step(state, images, labels, rng)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])

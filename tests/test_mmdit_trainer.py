@@ -172,3 +172,31 @@ def test_sp_training_step(devices8):
     # same data + init seed: both SP impls compute the same exact step
     np.testing.assert_allclose(losses["ring"], losses["ulysses"],
                                rtol=1e-5)
+
+
+def test_flow_train_grad_accumulation(devices8):
+    """grad_accum=2 on the MMDiT trainer: params frozen on the window's
+    first micro-step, applied on the second; training still learns."""
+    trainer = MMDiTTrainer(tiny_model_cfg(),
+                           tiny_train_cfg(epoch=5, max_lr=3e-3,
+                                          grad_accum=2),
+                           mesh=build_mesh({"data": 8}, devices8))
+    # 2x micro-steps per epoch: the trainer divides the cosine horizon by
+    # the accumulation factor (it counts OPTIMIZER updates)
+    state = trainer.create_state(steps_per_epoch=16)
+    latents, ctx, y = batch()
+    rng = jax.random.key(3)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, _ = trainer.train_step(state, latents, ctx, y, rng)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
+    state, _ = trainer.train_step(state, latents, ctx, y, rng)
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
+    losses = []
+    # 2x the plain-DP step count: each update consumes 2 micro-steps
+    for _ in range(80):
+        state, loss = trainer.train_step(state, latents, ctx, y, rng)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])

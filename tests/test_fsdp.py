@@ -99,3 +99,38 @@ def test_fsdp_train_equivalence(devices8):
                   and np.size(x) >= 2 ** 15]
     assert opt_leaves and all("data" in (x.sharding.spec or ())
                               for x in opt_leaves)
+
+
+@pytest.mark.slow
+def test_fsdp_composes_with_grad_accumulation(devices8):
+    """FSDP + grad_accum: the MultiSteps accumulator tree takes the ZeRO
+    shape-rule shardings like the params, windows behave (params frozen
+    mid-window), and the donated step runs."""
+    cfg = TinySDConfig(
+        epoch=2, batch_size=8, img_size=16, img_channel=3, num_class=3,
+        T=10, channel=32, channel_multy=[1, 2, 2, 2], dropout=0.0,
+        lr=1e-4, max_lr=1e-3, warmup_epochs=1, train_rand=0.1, w=1.8,
+        dtype="fp32", seed=0, grad_accum=2)
+    mesh = build_mesh({"data": 8}, devices8)
+    trainer = DDPMTrainer(cfg, mesh=mesh, fsdp=True)
+    state = trainer.create_state(steps_per_epoch=4)
+    imgs = np.random.default_rng(0).uniform(
+        -1, 1, (8, 16, 16, 3)).astype(np.float32)
+    labels = (np.arange(8) % 3).astype(np.int32)
+    rng = jax.random.key(1)
+
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, l1 = trainer.train_step(state, imgs, labels, rng)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
+    state, l2 = trainer.train_step(state, imgs, labels, rng)
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
+    assert np.isfinite([float(l1), float(l2)]).all()
+
+    # the accumulator tree is stored sharded over data like the params
+    acc_leaves = [x for x in jax.tree_util.tree_leaves(state.opt_state)
+                  if hasattr(x, "sharding") and np.ndim(x) >= 1
+                  and np.size(x) >= 2 ** 12]
+    assert acc_leaves and any("data" in (x.sharding.spec or ())
+                              for x in acc_leaves)

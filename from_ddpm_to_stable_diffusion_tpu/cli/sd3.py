@@ -24,6 +24,9 @@ def main(argv=None):
     g.add_argument("--width", type=int, default=1024)
     g.add_argument("--height", type=int, default=1024)
     g.add_argument("--steps", type=int, default=50)
+    g.add_argument("--sampler", choices=("euler", "heun"), default="euler",
+                   help="heun: 2nd-order flow sampler — ~half the steps "
+                        "at equal ODE accuracy (2 model calls/step)")
     g.add_argument("--cfg-scale", type=float, default=5.0)
     g.add_argument("--shift", type=float, default=3.0)
     g.add_argument("--seed", type=int, default=1)
@@ -156,7 +159,8 @@ def main(argv=None):
     kwargs = dict(width=args.width, height=args.height, steps=args.steps,
                   cfg_scale=args.cfg_scale, seed=args.seed,
                   offload_text_encoders=args.offload_text_encoders,
-                  keep_trajectory=args.save_trajectory)
+                  keep_trajectory=args.save_trajectory,
+                  sampler=args.sampler)
     if args.init_image:
         raw = np.asarray(Image.open(args.init_image).convert("RGB").resize(
             (args.width, args.height)), np.float32)

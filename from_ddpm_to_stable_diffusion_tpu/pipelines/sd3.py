@@ -36,7 +36,8 @@ from ..models.text_encoders import (CLIP_G_CONFIG, CLIP_L_CONFIG,
                                     CLIPTextModel, T5Config, T5Encoder,
                                     assemble_sd3_cond)
 from ..ops.image import to_uint8
-from ..samplers.flow import flow_euler_sample, noise_scaling
+from ..samplers.flow import (flow_euler_sample, flow_heun_sample,
+                             noise_scaling)
 from ..utils.dtypes import POLICIES
 
 
@@ -305,8 +306,10 @@ class SD3Inferencer:
                 steps: int = 50, cfg_scale: float = 5.0,
                 seed: int = 1, denoise_strength: float = 1.0,
                 keep_trajectory: bool = False,
-                per_sample_seeds=None):
-        """Noise + rectified-flow Euler scan with batched CFG. With
+                per_sample_seeds=None, sampler: str = "euler"):
+        """Noise + rectified-flow scan with batched CFG. ``sampler``:
+        'euler' (reference parity) or 'heun' (2nd order — ~half the steps
+        at equal ODE accuracy; 2 model calls per step). With
         ``keep_trajectory`` also returns every intermediate latent, like
         the reference sampler (utils.py:48-49).
 
@@ -349,9 +352,11 @@ class SD3Inferencer:
             pos, neg = jnp.split(denoised, 2, axis=0)
             return neg + (pos - neg) * cfg_scale
 
-        return flow_euler_sample(denoise_fn, x, steps=len(sigmas) - 1,
-                                 shift=self.shift, sigmas=np.asarray(sigmas),
-                                 keep_trajectory=keep_trajectory)
+        sample = {"euler": flow_euler_sample,
+                  "heun": flow_heun_sample}[sampler]
+        return sample(denoise_fn, x, steps=len(sigmas) - 1,
+                      shift=self.shift, sigmas=np.asarray(sigmas),
+                      keep_trajectory=keep_trajectory)
 
     def vae_decode(self, latent) -> np.ndarray:
         m = self.models
@@ -381,7 +386,7 @@ class SD3Inferencer:
                   keep_trajectory: bool = False,
                   clip_g_tokens: Optional[np.ndarray] = None,
                   neg_clip_g_tokens: Optional[np.ndarray] = None,
-                  per_sample_seeds=None):
+                  per_sample_seeds=None, sampler: str = "euler"):
         """Token-id entry point. ``offload_text_encoders`` frees the CLIP/T5
         param groups once conditioning is on device (the 16GB single-chip
         plan — ref sd3_infer.py:324-375); the inferencer is single-shot
@@ -412,7 +417,8 @@ class SD3Inferencer:
                            neg_pooled, steps, cfg_scale, seed,
                            denoise_strength,
                            keep_trajectory=keep_trajectory,
-                           per_sample_seeds=per_sample_seeds)
+                           per_sample_seeds=per_sample_seeds,
+                           sampler=sampler)
         if keep_trajectory:
             latent, traj = out
             previews = np.asarray(

@@ -337,3 +337,16 @@ def test_sd3_inferencer_tp_mesh_matches_single_device():
     assert got.shape == ref.shape
     diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+
+
+def test_sd3_pipeline_heun_sampler():
+    """sampler='heun' runs the whole prompt→image path (2 model calls per
+    step except the σ→0 final step)."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    inf = SD3Inferencer(_tiny_sd3_models(), shift=3.0)
+    tokens = np.zeros((1, 77), np.int32)
+    img = inf.gen_image(tokens, t5_tokens=tokens, width=128, height=128,
+                        steps=2, cfg_scale=5.0, seed=1, sampler="heun")
+    assert img.shape == (1, 128, 128, 3)
+    assert np.isfinite(img.astype(np.float32)).all()

@@ -193,8 +193,31 @@ def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
     return ms
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Bound device init: the axon relay daemon can die (observed once
+    mid-round), and then backend init blocks FOREVER with an empty log.
+    Emit one parseable error line instead of hanging the driver."""
+    import threading
+
+    devs = []
+    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not devs:
+        print(json.dumps({
+            "metric": "sd1_pipeline_imgs_per_sec_512px_50step_cfg_bf16",
+            "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
+            "error": f"TPU backend init exceeded {timeout_s:.0f}s — "
+                     "relay unreachable (see memory: tpu_init.py relay "
+                     "can die); no measurement possible",
+        }))
+        sys.exit(0)
+    return devs
+
+
 def main():
-    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    print(f"[bench] devices: {_device_watchdog()}", file=sys.stderr)
     sd1_imgs_per_sec, sd1_step_ms, sd1_bs4_ips, sd1_bs8_ips = \
         bench_sd1_pipeline()
     sd3_step_ms = bench_sd3_denoise_step()

@@ -88,3 +88,25 @@ def test_clip_score_orders_matched_above_shuffled():
     matched = clip_score(images, tokens, model, params)
     shuffled = clip_score(images, np.roll(tokens, 3, axis=0), model, params)
     assert matched > shuffled + 5.0, (matched, shuffled)
+
+
+def test_kid_identity_and_separation():
+    """KID (unbiased MMD², cubic kernel): ~0 for same-distribution splits,
+    clearly positive for shifted distributions, and near-unbiased at small
+    subset sizes (where FID's bias dominates)."""
+    from from_ddpm_to_stable_diffusion_tpu.utils.metrics import (
+        kid_from_features)
+
+    r = np.random.default_rng(0)
+    a = r.standard_normal((400, 64))
+    a2 = r.standard_normal((400, 64))
+    b = r.standard_normal((400, 64)) + 0.75
+
+    same = kid_from_features(a, a2, subset_size=100)
+    diff = kid_from_features(a, b, subset_size=100)
+    assert abs(same) < 0.02
+    assert diff > 10 * max(abs(same), 1e-6)
+    # small-sample behavior: estimate at m=50 within noise of m=200
+    small = kid_from_features(a, b, subset_size=50, n_subsets=20)
+    big = kid_from_features(a, b, subset_size=200, n_subsets=20)
+    np.testing.assert_allclose(small, big, rtol=0.25)

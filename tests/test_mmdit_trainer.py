@@ -200,3 +200,45 @@ def test_flow_train_grad_accumulation(devices8):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+
+
+def test_resume_preserves_grad_accum_window(tmp_path, devices8):
+    """Orbax save/restore round-trips the MultiSteps state: a checkpoint
+    taken mid-window restores with the SAME accumulator and window
+    position, so resumed training continues the window rather than
+    silently dropping accumulated gradients."""
+    from from_ddpm_to_stable_diffusion_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    cfg = tiny_train_cfg(epoch=4, grad_accum=2)
+    mesh = build_mesh({"data": 8}, devices8)
+    trainer = MMDiTTrainer(tiny_model_cfg(), cfg, mesh=mesh)
+    state = trainer.create_state(steps_per_epoch=8)
+    latents, ctx, y = batch()
+    rng = jax.random.key(3)
+    # one micro-step: mid-window (params frozen, accumulator non-zero)
+    state, _ = trainer.train_step(state, latents, ctx, y, rng)
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(0, jax.device_get(state))
+    mgr.close()  # flush the async write
+    mgr = CheckpointManager(str(tmp_path))
+    template = jax.device_get(
+        MMDiTTrainer(tiny_model_cfg(), cfg).create_state(steps_per_epoch=8))
+    restored, _ = mgr.restore(template=template)
+    # window position + accumulator survive the round trip
+    got = jax.tree_util.tree_leaves(jax.device_get(state.opt_state))
+    want = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # and both continue identically: the window closes on the next step
+    state2, _ = trainer.train_step(state, latents, ctx, y, rng)
+    restored = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x), restored)
+    restored2, _ = trainer.train_step(
+        jax.tree_util.tree_map(lambda x: x, restored), latents, ctx, y, rng)
+    p_a = jax.tree_util.tree_leaves(state2.params)[0]
+    p_b = jax.tree_util.tree_leaves(restored2.params)[0]
+    np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b),
+                               atol=1e-6)

@@ -142,10 +142,12 @@ def bench_sd1_batch(gen, bs: int, iters: int = 2):
     return ips
 
 
-def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
-    """SD3-medium MMDiT denoise step at the reference op point: 1024×1024
-    (4096 latent + 154 context tokens joint attention), CFG ×2, bf16 —
-    or the W8A8 int8 serving path (``int8=True``, ops/quantize.py)."""
+def make_sd3_denoise(int8: bool = False):
+    """The canonical SD3-medium denoise-step harness at the reference op
+    point (1024², CFG ×2, 154-token context, bf16 or the W8A8 int8 path).
+    Shared by bench.py and tools/profile_step.py so both always measure
+    the SAME program. Returns (denoise(params, xt, sigma), params,
+    n_params)."""
     import dataclasses
 
     from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
@@ -166,8 +168,6 @@ def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
 
         params = {"params": jax.jit(quantize_tree, donate_argnums=0)(
             params["params"])}
-    print(f"[bench] MMDiT-medium params: {n:,}"
-          + (" (int8 projections)" if int8 else ""), file=sys.stderr)
 
     @jax.jit
     def denoise(params, xt, sigma):
@@ -176,6 +176,14 @@ def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
         den = xt - out * sigma
         pos, neg = jnp.split(den, 2, axis=0)
         return jnp.concatenate([neg + (pos - neg) * 5.0] * 2, axis=0)
+
+    return denoise, params, n
+
+
+def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
+    denoise, params, n = make_sd3_denoise(int8)
+    print(f"[bench] MMDiT-medium params: {n:,}"
+          + (" (int8 projections)" if int8 else ""), file=sys.stderr)
 
     xt = jax.random.normal(jax.random.key(1), (2, 128, 128, 16))
     t0 = time.perf_counter()
@@ -198,19 +206,30 @@ def _device_watchdog(timeout_s: float = 300.0):
     mid-round), and then backend init blocks FOREVER with an empty log.
     Emit one parseable error line instead of hanging the driver."""
     import threading
+    import time as _time
 
-    devs = []
-    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
-                         daemon=True)
+    devs, errs = [], []
+
+    def probe():
+        try:
+            devs.extend(jax.devices())
+        except BaseException as e:  # noqa: BLE001 — reported, not hidden
+            errs.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t0 = _time.perf_counter()
     t.start()
     t.join(timeout_s)
     if not devs:
+        elapsed = _time.perf_counter() - t0
+        cause = (f"backend init raised {type(errs[0]).__name__}: {errs[0]}"
+                 if errs else
+                 f"backend init still blocked after {elapsed:.0f}s — "
+                 "relay unreachable (the tpu_init relay daemon can die)")
         print(json.dumps({
             "metric": "sd1_pipeline_imgs_per_sec_512px_50step_cfg_bf16",
             "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
-            "error": f"TPU backend init exceeded {timeout_s:.0f}s — "
-                     "relay unreachable (see memory: tpu_init.py relay "
-                     "can die); no measurement possible",
+            "error": f"no TPU measurement possible: {cause}",
         }))
         sys.exit(0)
     return devs

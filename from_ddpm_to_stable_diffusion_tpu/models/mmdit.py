@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention_blhd, joint_attention_blhd
+from ..ops.quantize import dense_cls as _dense_cls
 from ..ops.embeddings import crop_pos_embed, timestep_embedding
 from ..ops.groupnorm import layer_norm, rms_norm
 
@@ -90,15 +91,10 @@ class DismantledBlock(nn.Module):
     def setup(self):
         hs = self.hidden_size
         self.head_dim = hs // self.num_heads
-        if self.int8_mm:
-            from ..ops.quantize import QuantDense
-
-            # same layer names as the bf16 path → param paths line up
-            # with quantize_tree's output (adaLN stays bf16: small and
-            # modulation-critical)
-            dense = QuantDense
-        else:
-            dense = nn.Dense
+        # same layer names on either path → param paths line up with
+        # quantize_tree's output (adaLN stays bf16: small and
+        # modulation-critical)
+        dense = _dense_cls(self.int8_mm)
         self.qkv = dense(3 * hs, use_bias=self.qkv_bias, dtype=self.dtype,
                          name="qkv")
         self.ln_q = QKNorm(self.qk_norm, self.head_dim, name="ln_q")
@@ -209,24 +205,23 @@ class JointBlock(nn.Module):
         # sequence-parallel path: one joint sequence over the mesh axis
         q, k, v = (jnp.concatenate([cq, xq], axis=1)
                    for cq, xq in zip(ctx_qkv, x_qkv))
-        if True:
-            from ..parallel.ring_attention import (ring_attention,
-                                                   ulysses_attention)
+        from ..parallel.ring_attention import (ring_attention,
+                                               ulysses_attention)
 
-            n = self.mesh.shape[self.seq_axis]
-            l_actual = q.shape[1]
-            pad = (-l_actual) % n
-            t = lambda a: a.transpose(0, 2, 1, 3)
-            q, k, v = t(q), t(k), t(v)  # SP contract is (B, H, L, D)
-            if pad:
-                widths = ((0, 0), (0, 0), (0, pad), (0, 0))
-                q, k, v = (jnp.pad(a, widths) for a in (q, k, v))
-            sp = (ulysses_attention if self.seq_impl == "ulysses"
-                  else ring_attention)
-            out = sp(q, k, v, self.mesh, self.seq_axis,
-                     kv_valid_len=l_actual)[:, :, :l_actual]
-            b, h, l, d = out.shape
-            out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+        n = self.mesh.shape[self.seq_axis]
+        l_actual = q.shape[1]
+        pad = (-l_actual) % n
+        t = lambda a: a.transpose(0, 2, 1, 3)
+        q, k, v = t(q), t(k), t(v)  # SP contract is (B, H, L, D)
+        if pad:
+            widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(a, widths) for a in (q, k, v))
+        sp = (ulysses_attention if self.seq_impl == "ulysses"
+              else ring_attention)
+        out = sp(q, k, v, self.mesh, self.seq_axis,
+                 kv_valid_len=l_actual)[:, :, :l_actual]
+        b, h, l, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
         ctx_attn, x_attn = out[:, :lc], out[:, lc:]
         new_context = (None if self.context_pre_only
                        else self.context_block.post_attention(ctx_attn,

@@ -209,15 +209,19 @@ class MMDiTTrainer:
             state = state.apply_gradients(grads=grads)
             if cfg.ema_decay:
                 d = cfg.ema_decay
-                accum = max(1, getattr(cfg, "grad_accum", 1))
                 new_ema = jax.tree_util.tree_map(
                     lambda e, p: d * e + (1.0 - d) * p,
                     state.ema_params, state.params)
-                if accum > 1:
-                    # params move only on the window's last micro-step
-                    is_update = (state.step % accum) == 0
+                mini = getattr(state.opt_state, "mini_step", None)
+                if mini is not None:
+                    # grad accumulation: advance the EMA only when
+                    # MultiSteps actually applied an update (its mini_step
+                    # resets to 0 right after an emit). Derived from the
+                    # optimizer's OWN counter — state.step % accum
+                    # desynchronizes on warm starts whose step is not a
+                    # window multiple.
                     new_ema = jax.tree_util.tree_map(
-                        lambda n, e: jnp.where(is_update, n, e),
+                        lambda n, e: jnp.where(mini == 0, n, e),
                         new_ema, state.ema_params)
                 state = state.replace(ema_params=new_ema)
             if self._state_shardings is not None:

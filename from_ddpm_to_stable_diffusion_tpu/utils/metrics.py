@@ -134,7 +134,10 @@ def kid_from_features(feats_a, feats_b, n_subsets: int = 10,
     a = np.asarray(feats_a, np.float64)
     b = np.asarray(feats_b, np.float64)
     d = a.shape[1]
-    m = subset_size or min(len(a), len(b), 1000)
+    # clamp to the available rows; the unbiased estimator needs m >= 2
+    m = min(subset_size or 1000, len(a), len(b))
+    if m < 2:
+        raise ValueError(f"KID needs >= 2 samples per side, got m={m}")
     rng = np.random.default_rng(seed)
 
     def poly(x, y):

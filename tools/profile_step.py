@@ -129,31 +129,11 @@ def build_tiny():
 
 
 def build_sd3(int8: bool):
-    import dataclasses
+    # the harness lives in bench.py (make_sd3_denoise) so the profiler and
+    # the benchmark always measure the SAME program
+    import bench
 
-    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
-                                                                MMDiTConfig)
-    from from_ddpm_to_stable_diffusion_tpu.ops.quantize import quantize_tree
-
-    cfg = MMDiTConfig(depth=24, pos_embed_max_size=192, int8_mm=int8)
-    model = MMDiT(cfg, dtype=jnp.bfloat16)
-    x = jnp.zeros((2, 128, 128, 16))
-    t = jnp.zeros((2,))
-    y = jnp.zeros((2, 2048))
-    ctx = jnp.zeros((2, 154, 4096))
-    base = MMDiT(dataclasses.replace(cfg, int8_mm=False), dtype=jnp.bfloat16)
-    params = jax.jit(base.init)(jax.random.key(0), x, t, y, ctx)["params"]
-    if int8:
-        params = jax.jit(quantize_tree)(params)
-
-    @jax.jit
-    def denoise(params, xt, sigma):
-        tt = jnp.broadcast_to(sigma * 1000.0, (2,))
-        out = model.apply({"params": params}, xt, tt, y, ctx)
-        den = xt - out * sigma
-        pos, neg = jnp.split(den, 2, axis=0)
-        return jnp.concatenate([neg + (pos - neg) * 5.0] * 2, axis=0)
-
+    denoise, params, _ = bench.make_sd3_denoise(int8)
     state = [jax.random.normal(jax.random.key(1), (2, 128, 128, 16))]
 
     def run():

@@ -87,6 +87,8 @@ class DismantledBlock(nn.Module):
     scale_mod_only: bool = False
     dtype: Dtype = jnp.float32
     int8_mm: bool = False   # W8A8 serving path for the FLOPs-mass denses
+    moe_experts: Optional[int] = None   # Switch-MoE MLP (parallel/expert)
+    moe_mesh: Optional[object] = None   # mesh with an 'expert' axis (EP)
 
     def setup(self):
         hs = self.hidden_size
@@ -106,10 +108,20 @@ class DismantledBlock(nn.Module):
         self.adaLN = nn.Dense(n_mods * hs, dtype=self.dtype, name="adaLN")
         if not self.pre_only:
             self.proj = dense(hs, dtype=self.dtype, name="proj")
-            mlp_hidden = int(hs * self.mlp_ratio)
-            self.mlp_fc1 = dense(mlp_hidden, dtype=self.dtype,
-                                 name="mlp_fc1")
-            self.mlp_fc2 = dense(hs, dtype=self.dtype, name="mlp_fc2")
+            if self.moe_experts:
+                from ..parallel.expert import SwitchFFN
+
+                # sparse MLP: top-1 Switch routing, experts shardable
+                # over the mesh 'expert' axis; aux balance loss sown into
+                # the 'losses' collection for the trainer to pick up
+                self.moe = SwitchFFN(self.moe_experts,
+                                     hidden_mult=int(self.mlp_ratio),
+                                     dtype=self.dtype, name="moe")
+            else:
+                mlp_hidden = int(hs * self.mlp_ratio)
+                self.mlp_fc1 = dense(mlp_hidden, dtype=self.dtype,
+                                     name="mlp_fc1")
+                self.mlp_fc2 = dense(hs, dtype=self.dtype, name="mlp_fc2")
 
     def _mods(self, c):
         m = self.adaLN(jax.nn.silu(c))
@@ -143,9 +155,13 @@ class DismantledBlock(nn.Module):
         x = x + g_msa[:, None, :] * self.proj(attn_out)
         h = layer_norm(x, None, None, eps=1e-6)
         h = modulate(h, sh_mlp, s_mlp)
-        h = self.mlp_fc1(h)
-        h = jax.nn.gelu(h, approximate=True)
-        h = self.mlp_fc2(h)
+        if self.moe_experts:
+            h, aux = self.moe(h, mesh=self.moe_mesh)
+            self.sow("losses", "moe_aux", aux)
+        else:
+            h = self.mlp_fc1(h)
+            h = jax.nn.gelu(h, approximate=True)
+            h = self.mlp_fc2(h)
         return x + g_mlp[:, None, :] * h
 
     def __call__(self, x, c):
@@ -175,8 +191,13 @@ class JointBlock(nn.Module):
     seq_axis: str = "seq"
     seq_impl: str = "ring"   # 'ring' | 'ulysses' (when mesh is set)
     int8_mm: bool = False
+    moe_experts: Optional[int] = None
+    moe_mesh: Optional[object] = None
 
     def setup(self):
+        # MoE on the x (latent-token) stream only: it carries 4096 of the
+        # 4250 tokens — the context stream's 154 tokens can't fill expert
+        # capacity buckets and stays dense
         self.context_block = DismantledBlock(
             self.hidden_size, self.num_heads, self.mlp_ratio, self.qkv_bias,
             pre_only=self.context_pre_only, qk_norm=self.qk_norm,
@@ -184,7 +205,8 @@ class JointBlock(nn.Module):
         self.x_block = DismantledBlock(
             self.hidden_size, self.num_heads, self.mlp_ratio, self.qkv_bias,
             pre_only=False, qk_norm=self.qk_norm, dtype=self.dtype,
-            int8_mm=self.int8_mm)
+            int8_mm=self.int8_mm, moe_experts=self.moe_experts,
+            moe_mesh=self.moe_mesh)
 
     def __call__(self, context, x, c):
         ctx_qkv, ctx_state = self.context_block.pre_attention(context, c)
@@ -248,6 +270,11 @@ class MMDiTConfig:
     # W8A8 int8 MXU path for the joint-block projections (serving only;
     # params must come from ops.quantize.quantize_tree)
     int8_mm: bool = False
+    # Switch-MoE MLP in every x-stream block (beyond-reference sparse
+    # MMDiT): top-1 routing, experts sharded over the mesh 'expert' axis
+    # when MMDiT(mesh=) carries one; aux balance losses land in the
+    # 'losses' collection (MMDiTTrainer adds them at moe_aux_weight)
+    moe_experts: Optional[int] = None
 
     @property
     def hidden_size(self) -> int:
@@ -292,12 +319,16 @@ class MMDiT(nn.Module):
 
         sp_mesh = (self.mesh if cfg.attention_impl in ("ring", "ulysses")
                    else None)
+        ep_mesh = (self.mesh if (self.mesh is not None and cfg.moe_experts
+                                 and "expert" in self.mesh.shape)
+                   else None)
         for i in range(cfg.depth):
             context, xe = JointBlock(
                 hs, cfg.depth, cfg.mlp_ratio, cfg.qkv_bias,
                 context_pre_only=(i == cfg.depth - 1), qk_norm=cfg.qk_norm,
                 dtype=self.dtype, mesh=sp_mesh, seq_axis=self.seq_axis,
                 seq_impl=cfg.attention_impl, int8_mm=cfg.int8_mm,
+                moe_experts=cfg.moe_experts, moe_mesh=ep_mesh,
                 name=f"joint_block{i}")(context, xe, c)
 
         # final adaLN layer → (B, L, p²·C)

@@ -201,6 +201,14 @@ class MMDiTTrainer:
                     from ..utils.lora import merge_lora
 
                     params = merge_lora(base, params, self.lora_scale)
+                if self.model_cfg.moe_experts:
+                    out, mut = model.apply(
+                        {"params": params}, x_sigma, timestep, yy, ctx,
+                        mutable=["losses"])
+                    aux = sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(
+                        mut["losses"]))
+                    return (jnp.mean(jnp.square(out - target))
+                            + cfg.moe_aux_weight * aux)
                 out = model.apply({"params": params}, x_sigma, timestep,
                                   yy, ctx)
                 return jnp.mean(jnp.square(out - target))

@@ -100,6 +100,7 @@ class FlowTrainConfig:
     mesh_shape: Optional[dict] = None
     ema_decay: Optional[float] = None
     grad_accum: int = 1          # micro-batches per optimizer update
+    moe_aux_weight: float = 0.01  # Switch balance-loss coefficient
 
     from_yaml = classmethod(lambda cls, path: cls(**yaml.safe_load(open(path))))
 

@@ -90,6 +90,12 @@ def main(argv=None):
                    help="hybrid data×model mesh (heads must divide)")
     t.add_argument("--lora-rank", type=int, default=None,
                    help="freeze the base, train rank-r adapters only")
+    t.add_argument("--moe-experts", type=int, default=None,
+                   help="sparse MMDiT: Switch-MoE block MLPs with E "
+                        "experts (shard over an 'expert' mesh axis on "
+                        "multi-chip)")
+    t.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches averaged per optimizer update")
     t.add_argument("--seed", type=int, default=0)
 
     args = ap.parse_args(argv)
@@ -215,11 +221,13 @@ def _train(args):
     mcfg = MMDiTConfig(patch_size=2, in_channels=16, depth=args.depth,
                        adm_in_channels=args.adm,
                        context_dim=args.context_dim,
-                       pos_embed_max_size=max(args.img_size // 2, 8))
+                       pos_embed_max_size=max(args.img_size // 2, 8),
+                       moe_experts=args.moe_experts)
     cfg = FlowTrainConfig(epoch=2, batch_size=args.batch_size,
                           img_size=args.img_size,
                           context_len=args.context_len, warmup_epochs=1,
-                          dtype=args.dtype, seed=args.seed)
+                          dtype=args.dtype, seed=args.seed,
+                          grad_accum=args.grad_accum)
     trainer = MMDiTTrainer(mcfg, cfg, mesh=mesh, fsdp=args.fsdp,
                            lora_rank=args.lora_rank)
     state = trainer.create_state(

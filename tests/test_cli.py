@@ -184,6 +184,22 @@ def test_sd3_cli_train_fsdp_lora(devices8, capsys):
 
 
 @pytest.mark.slow
+def test_sd3_cli_train_moe_grad_accum(devices8, capsys):
+    """sd3 train --moe-experts --grad-accum: the sparse-MMDiT trainer with
+    accumulation windows through the CLI."""
+    from from_ddpm_to_stable_diffusion_tpu.cli import sd3
+
+    rc = sd3.main(["train", "--steps", "4", "--batch-size", "8",
+                   "--img-size", "8", "--context-len", "4",
+                   "--context-dim", "16", "--adm", "16",
+                   "--dtype", "fp32", "--moe-experts", "4",
+                   "--grad-accum", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sampled latents" in out
+
+
+@pytest.mark.slow
 def test_sd3_cli_img2img(tmp_path):
     """sd3 generate --init-image: the img2img branch (VAE encode +
     partial denoise, ref sd3_infer.py:349-362) through the CLI."""

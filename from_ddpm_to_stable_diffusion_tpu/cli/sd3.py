@@ -21,6 +21,9 @@ def main(argv=None):
     g = sub.add_parser("generate")
     g.add_argument("--prompt", required=True)
     g.add_argument("--neg-prompt", default="")
+    g.add_argument("--prompt-weighting", action="store_true",
+                   help="honor the (text:w) attention syntax on the CLIP "
+                        "streams (beyond-reference; needs --vocab/--merges)")
     g.add_argument("--width", type=int, default=1024)
     g.add_argument("--height", type=int, default=1024)
     g.add_argument("--steps", type=int, default=50)
@@ -174,7 +177,9 @@ def main(argv=None):
         kwargs["denoise_strength"] = args.strength
 
     if tokenizer is not None:
-        out = inf.gen_image_text(args.prompt, args.neg_prompt, **kwargs)
+        out = inf.gen_image_text(args.prompt, args.neg_prompt,
+                                 prompt_weighting=args.prompt_weighting,
+                                 **kwargs)
     else:
         print("[sd3] no tokenizer files: deterministic placeholder token "
               "ids (smoke-test plumbing only)", file=sys.stderr)

@@ -275,3 +275,32 @@ class SD3Tokenizer:
             "g": core + [0] * n_pad,
             "t5xxl": self.t5.encode(text),
         }
+
+    def encode_with_weights(self, text: str):
+        """(streams, clip_weights): the ``(text:w)`` attention syntax
+        (io/prompt_weights.py) parsed once — CLIP-L/G share one weights
+        row (same core ids); T5 tokenizes the STRIPPED text and stays
+        unweighted (its hidden states carry no per-token weight in the
+        reference conditioning; weights act on the CLIP hidden states).
+        Beyond-reference: the reference stubs all weights to 1.0
+        (utils.py:206-226)."""
+        from .prompt_weights import parse_weighted_segments
+
+        segs = parse_weighted_segments(text)
+        core: List[int] = []
+        wts: List[float] = []
+        for frag, w in segs:
+            fids = self.clip.encode_fragment(frag)
+            core.extend(fids)
+            wts.extend([w] * len(fids))
+        keep = self.clip.max_length - 2
+        core, wts = core[:keep], wts[:keep]
+        ids = [self.clip.bos_id] + core + [self.clip.eos_id]
+        wts = [1.0] + wts + [1.0]
+        n_pad = self.clip.max_length - len(ids)
+        streams = {
+            "l": ids + [self.clip.eos_id] * n_pad,
+            "g": ids + [0] * n_pad,
+            "t5xxl": self.t5.encode("".join(f for f, _ in segs)),
+        }
+        return streams, wts + [1.0] * n_pad

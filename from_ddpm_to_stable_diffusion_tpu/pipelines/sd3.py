@@ -276,10 +276,14 @@ class SD3Inferencer:
 
     def get_cond(self, clip_tokens: np.ndarray,
                  t5_tokens: Optional[np.ndarray],
-                 clip_g_tokens: Optional[np.ndarray] = None):
+                 clip_g_tokens: Optional[np.ndarray] = None,
+                 clip_weights=None):
         """clip_tokens: (B, 77) for CLIP-L (and CLIP-G unless
         ``clip_g_tokens`` is given — the trio tokenizer pads L with EOS but
-        G with 0); t5_tokens: (B, 77) or None. Returns (context, pooled)."""
+        G with 0); t5_tokens: (B, 77) or None. ``clip_weights`` (B, 77):
+        per-token attention weights from the ``(text:w)`` syntax, applied
+        to BOTH CLIP hidden streams (mean-preserving —
+        io/prompt_weights.py). Returns (context, pooled)."""
         m = self.models
         toks = jnp.asarray(clip_tokens)
         toks_g = toks if clip_g_tokens is None else jnp.asarray(clip_g_tokens)
@@ -287,6 +291,12 @@ class SD3Inferencer:
             {"params": m.params["clip_l"]}, toks)
         _, g_hidden, g_pooled = m.clip_g.apply(
             {"params": m.params["clip_g"]}, toks_g)
+        if clip_weights is not None:
+            from ..io.prompt_weights import apply_token_weights
+
+            w = np.asarray(clip_weights, np.float32)
+            l_hidden = apply_token_weights(l_hidden, w)
+            g_hidden = apply_token_weights(g_hidden, w)
         if m.t5 is not None:
             if t5_tokens is None:
                 t5_tokens = self.empty_t5_tokens(toks.shape[0])
@@ -386,7 +396,8 @@ class SD3Inferencer:
                   keep_trajectory: bool = False,
                   clip_g_tokens: Optional[np.ndarray] = None,
                   neg_clip_g_tokens: Optional[np.ndarray] = None,
-                  per_sample_seeds=None, sampler: str = "euler"):
+                  per_sample_seeds=None, sampler: str = "euler",
+                  clip_weights=None, neg_clip_weights=None):
         """Token-id entry point. ``offload_text_encoders`` frees the CLIP/T5
         param groups once conditioning is on device (the 16GB single-chip
         plan — ref sd3_infer.py:324-375); the inferencer is single-shot
@@ -397,10 +408,12 @@ class SD3Inferencer:
         if neg_clip_tokens is None:
             neg_clip_tokens = np.zeros_like(clip_tokens)
         context, pooled = self.get_cond(clip_tokens, t5_tokens,
-                                        clip_g_tokens=clip_g_tokens)
+                                        clip_g_tokens=clip_g_tokens,
+                                        clip_weights=clip_weights)
         neg_context, neg_pooled = self.get_cond(
             neg_clip_tokens, neg_t5_tokens,
-            clip_g_tokens=neg_clip_g_tokens)
+            clip_g_tokens=neg_clip_g_tokens,
+            clip_weights=neg_clip_weights)
         if offload_text_encoders:
             (context, pooled, neg_context, neg_pooled) = jax.block_until_ready(
                 (context, pooled, neg_context, neg_pooled))
@@ -428,10 +441,26 @@ class SD3Inferencer:
         return self.vae_decode(out)
 
     def gen_image_text(self, prompt: str, neg_prompt: str = "",
-                       **kwargs) -> np.ndarray:
+                       prompt_weighting: bool = False, **kwargs
+                       ) -> np.ndarray:
         """Prompt-string entry point (ref gen_image, sd3_infer.py:383-405):
         fan the prompt through the CLIP-L/CLIP-G/T5 tokenizer trio, encode
-        the (possibly empty) negative prompt through the same stack."""
+        the (possibly empty) negative prompt through the same stack.
+        ``prompt_weighting``: honor the ``(text:w)`` attention syntax on
+        the CLIP streams (beyond-reference — the reference stubs weights
+        to 1.0)."""
+        if prompt_weighting:
+            streams, w = self.tokenizer.encode_with_weights(prompt)
+            nstreams, nw = self.tokenizer.encode_with_weights(neg_prompt)
+            arr = lambda x: np.asarray([x], np.int32)
+            return self.gen_image(
+                arr(streams["l"]), t5_tokens=arr(streams["t5xxl"]),
+                neg_clip_tokens=arr(nstreams["l"]),
+                neg_t5_tokens=arr(nstreams["t5xxl"]),
+                clip_g_tokens=arr(streams["g"]),
+                neg_clip_g_tokens=arr(nstreams["g"]),
+                clip_weights=np.asarray([w], np.float32),
+                neg_clip_weights=np.asarray([nw], np.float32), **kwargs)
         l_ids, g_ids, t5_ids = self.tokenize(prompt)
         nl_ids, ng_ids, nt5_ids = self.tokenize(neg_prompt)
         return self.gen_image(

@@ -350,3 +350,52 @@ def test_sd3_pipeline_heun_sampler():
                         steps=2, cfg_scale=5.0, seed=1, sampler="heun")
     assert img.shape == (1, 128, 128, 3)
     assert np.isfinite(img.astype(np.float32)).all()
+
+
+def test_sd3_prompt_weighting():
+    """(text:w) syntax on the SD3 trio: stripped ids match the plain
+    encode, weights land on the right tokens, weight-1.0 round-trips the
+    conditioning exactly, and a real weight changes it."""
+    tok = _tiny_sd3_tokenizer()
+    streams, w = tok.encode_with_weights("a (cat:1.5)")
+    plain = tok.encode("a cat")
+    assert streams["l"] == plain["l"]
+    assert streams["g"] == plain["g"]
+    assert streams["t5xxl"] == plain["t5xxl"]
+    assert max(w) == 1.5 and min(w) == 1.0
+    # weighted positions sit between BOS and EOS
+    n_weighted = sum(1 for x in w if x == 1.5)
+    assert 0 < n_weighted < 10
+
+    inf = SD3Inferencer_tiny()
+    arr = lambda x: np.asarray([x], np.int32)
+    base_ctx, base_pool = inf.get_cond(arr(plain["l"]),
+                                       arr(plain["t5xxl"]),
+                                       clip_g_tokens=arr(plain["g"]))
+    ones_ctx, _ = inf.get_cond(arr(plain["l"]), arr(plain["t5xxl"]),
+                               clip_g_tokens=arr(plain["g"]),
+                               clip_weights=np.ones((1, 77), np.float32))
+    np.testing.assert_allclose(np.asarray(ones_ctx), np.asarray(base_ctx),
+                               atol=1e-6)
+    w_ctx, _ = inf.get_cond(arr(streams["l"]), arr(streams["t5xxl"]),
+                            clip_g_tokens=arr(streams["g"]),
+                            clip_weights=np.asarray([w], np.float32))
+    # CLIP rows (first 77) change; T5 rows (last 77) don't
+    assert float(np.abs(np.asarray(w_ctx[:, :77])
+                        - np.asarray(base_ctx[:, :77])).max()) > 1e-4
+    np.testing.assert_allclose(np.asarray(w_ctx[:, 77:]),
+                               np.asarray(base_ctx[:, 77:]), atol=1e-6)
+
+
+def SD3Inferencer_tiny():
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import SD3Inferencer
+
+    return SD3Inferencer(_tiny_sd3_models(), shift=3.0,
+                         tokenizer=_tiny_sd3_tokenizer())
+
+
+def test_sd3_gen_image_text_prompt_weighting_end_to_end():
+    inf = SD3Inferencer_tiny()
+    img = inf.gen_image_text("a (cat:1.4)", prompt_weighting=True,
+                             width=128, height=128, steps=2, seed=1)
+    assert img.shape == (1, 128, 128, 3)

@@ -109,7 +109,7 @@ def _build_sd3(args, mesh):
     inf = SD3Inferencer(models, shift=args.shift, tokenizer=tokenizer,
                         mesh=mesh)
     kw = dict(width=args.width, height=args.height, steps=args.steps,
-              cfg_scale=args.cfg_scale)
+              cfg_scale=args.cfg_scale, sampler=args.flow_sampler)
 
     if tokenizer is None:
         print("[serve] no --vocab/--merges: zero-token smoke conditioning")
@@ -145,7 +145,11 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--sampler", default="k_lms",
                     choices=["k_lms", "k_euler", "k_euler_ancestral",
-                             "dpmpp_2m"])
+                             "dpmpp_2m"], help="sd1 sampler")
+    ap.add_argument("--flow-sampler", default="euler",
+                    choices=["euler", "heun"],
+                    help="sd3 flow sampler (heun: ~half the steps at "
+                         "equal ODE accuracy, 2 model calls/step)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cfg-scale", type=float, default=7.5)
     ap.add_argument("--height", type=int, default=512)

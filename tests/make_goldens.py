@@ -66,6 +66,12 @@ def main():
     g["flow_euler"] = np.asarray(flow_euler_sample(
         lambda x, s: x * (1.0 - 0.1 * s), jnp.asarray(x0), steps=12,
         shift=3.0))
+    from from_ddpm_to_stable_diffusion_tpu.samplers.flow import (
+        flow_heun_sample)
+
+    g["flow_heun"] = np.asarray(flow_heun_sample(
+        lambda x, s: x * (1.0 - 0.1 * s), jnp.asarray(x0), steps=12,
+        shift=3.0))
 
     # schedule tables (host float64 → fp32 freeze)
     sig, ts = schedules.karras_sigma_schedule(12, 1000)

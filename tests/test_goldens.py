@@ -40,6 +40,17 @@ def test_flow_euler_matches_golden():
                                rtol=2e-5, atol=1e-6)
 
 
+def test_flow_heun_matches_golden():
+    from from_ddpm_to_stable_diffusion_tpu.samplers.flow import (
+        flow_heun_sample)
+
+    out = flow_heun_sample(lambda x, s: x * (1.0 - 0.1 * s),
+                           jnp.asarray(GOLD["sampler_x0"]), steps=12,
+                           shift=3.0)
+    np.testing.assert_allclose(np.asarray(out), GOLD["flow_heun"],
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_schedule_tables_match_goldens():
     from from_ddpm_to_stable_diffusion_tpu.ops import schedules
 

@@ -248,6 +248,15 @@ class SD3Inferencer:
         self.models = models
         self.shift = shift
         self.tokenizer = tokenizer
+        # shape-keyed executable caches (compile-once serving, like
+        # SD1Generator): text encode / denoise scan / VAE decode each jit
+        # once per shape class and take params as ARGUMENTS (so --int8 /
+        # TP param swaps made before first use flow through). Without
+        # these, every apply ran eagerly (one relay dispatch per op) and
+        # the 50-step scan retraced per request.
+        self._enc_cache = {}
+        self._denoise_cache = {}
+        self._decode_cache = {}
 
     def get_empty_latent(self, width: int, height: int) -> jax.Array:
         return jnp.ones((1, height // 8, width // 8, 16)) * 0.0609
@@ -287,26 +296,40 @@ class SD3Inferencer:
         m = self.models
         toks = jnp.asarray(clip_tokens)
         toks_g = toks if clip_g_tokens is None else jnp.asarray(clip_g_tokens)
-        _, l_hidden, l_pooled = m.clip_l.apply(
-            {"params": m.params["clip_l"]}, toks)
-        _, g_hidden, g_pooled = m.clip_g.apply(
-            {"params": m.params["clip_g"]}, toks_g)
-        if clip_weights is not None:
-            from ..io.prompt_weights import apply_token_weights
+        if m.t5 is not None and t5_tokens is None:
+            t5_tokens = self.empty_t5_tokens(toks.shape[0])
+        has_w = clip_weights is not None
+        w = (jnp.asarray(np.asarray(clip_weights, np.float32))
+             if has_w else jnp.zeros((toks.shape[0], toks.shape[1]),
+                                     jnp.float32))
+        key = (toks.shape[0], has_w, m.t5 is not None)
+        fn = self._enc_cache.get(key)
+        if fn is None:
+            def encode(params, toks, toks_g, t5_toks, w):
+                _, l_hidden, l_pooled = m.clip_l.apply(
+                    {"params": params["clip_l"]}, toks)
+                _, g_hidden, g_pooled = m.clip_g.apply(
+                    {"params": params["clip_g"]}, toks_g)
+                if has_w:
+                    from ..io.prompt_weights import apply_token_weights
 
-            w = np.asarray(clip_weights, np.float32)
-            l_hidden = apply_token_weights(l_hidden, w)
-            g_hidden = apply_token_weights(g_hidden, w)
-        if m.t5 is not None:
-            if t5_tokens is None:
-                t5_tokens = self.empty_t5_tokens(toks.shape[0])
-            t5_out = m.t5.apply({"params": m.params["t5"]},
-                                jnp.asarray(t5_tokens))
-        else:
-            t5_out = jnp.zeros(
-                (toks.shape[0], 77, 4096), l_hidden.dtype)
-        return assemble_sd3_cond(l_hidden, l_pooled, g_hidden, g_pooled,
-                                 t5_out)
+                    l_hidden = apply_token_weights(l_hidden, w)
+                    g_hidden = apply_token_weights(g_hidden, w)
+                if m.t5 is not None:
+                    t5_out = m.t5.apply({"params": params["t5"]}, t5_toks)
+                else:
+                    t5_out = jnp.zeros(
+                        (toks.shape[0], 77, 4096), l_hidden.dtype)
+                return assemble_sd3_cond(l_hidden, l_pooled, g_hidden,
+                                         g_pooled, t5_out)
+
+            fn = jax.jit(encode)
+            self._enc_cache[key] = fn
+        enc_params = {k: m.params.get(k) for k in
+                      ("clip_l", "clip_g", "t5") if k in m.params}
+        t5_arr = (jnp.asarray(t5_tokens) if m.t5 is not None
+                  else jnp.zeros((toks.shape[0], 1), jnp.int32))
+        return fn(enc_params, toks, toks_g, t5_arr, w)
 
     def get_cond_text(self, text: str):
         l_ids, g_ids, t5_ids = self.tokenize(text)
@@ -352,27 +375,43 @@ class SD3Inferencer:
         ctx = jnp.concatenate([context, neg_context], axis=0)
         pld = jnp.concatenate([pooled, neg_pooled], axis=0)
         b = latent.shape[0]
+        sig_const = np.asarray(sigmas)
 
-        def denoise_fn(xt, sigma):
-            xx = jnp.concatenate([xt, xt], axis=0)
-            t = jnp.broadcast_to(sigma * 1000.0, (2 * b,))
-            out = m.mmdit.apply({"params": m.params["mmdit"]}, xx, t, pld,
-                                ctx)
-            denoised = xx - out * sigma
-            pos, neg = jnp.split(denoised, 2, axis=0)
-            return neg + (pos - neg) * cfg_scale
+        # compile-once: the scan executable is cached per shape class and
+        # schedule; sigmas bake in as constants, params stay arguments
+        key = (x.shape, ctx.shape, len(sig_const), float(cfg_scale),
+               sampler, keep_trajectory)
+        fn = self._denoise_cache.get(key)
+        if fn is None:
+            sample = {"euler": flow_euler_sample,
+                      "heun": flow_heun_sample}[sampler]
 
-        sample = {"euler": flow_euler_sample,
-                  "heun": flow_heun_sample}[sampler]
-        return sample(denoise_fn, x, steps=len(sigmas) - 1,
-                      shift=self.shift, sigmas=np.asarray(sigmas),
-                      keep_trajectory=keep_trajectory)
+            def run(mmdit_params, x, ctx, pld):
+                def denoise_fn(xt, sigma):
+                    xx = jnp.concatenate([xt, xt], axis=0)
+                    t = jnp.broadcast_to(sigma * 1000.0, (2 * b,))
+                    out = m.mmdit.apply({"params": mmdit_params}, xx, t,
+                                        pld, ctx)
+                    denoised = xx - out * sigma
+                    pos, neg = jnp.split(denoised, 2, axis=0)
+                    return neg + (pos - neg) * cfg_scale
+
+                return sample(denoise_fn, x, steps=len(sig_const) - 1,
+                              shift=self.shift, sigmas=sig_const,
+                              keep_trajectory=keep_trajectory)
+
+            fn = jax.jit(run)
+            self._denoise_cache[key] = fn
+        return fn(m.params["mmdit"], x, ctx, pld)
 
     def vae_decode(self, latent) -> np.ndarray:
         m = self.models
-        img = m.vae_decoder.apply({"params": m.params["vae_decoder"]},
-                                  SD3LatentFormat.process_out(latent))
-        return np.asarray(to_uint8(img))
+        fn = self._decode_cache.get(latent.shape)
+        if fn is None:
+            fn = jax.jit(lambda p, z: to_uint8(m.vae_decoder.apply(
+                {"params": p}, SD3LatentFormat.process_out(z))))
+            self._decode_cache[latent.shape] = fn
+        return np.asarray(fn(m.params["vae_decoder"], latent))
 
     def vae_encode(self, images: np.ndarray, rng) -> jax.Array:
         m = self.models

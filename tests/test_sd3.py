@@ -399,3 +399,23 @@ def test_sd3_gen_image_text_prompt_weighting_end_to_end():
     img = inf.gen_image_text("a (cat:1.4)", prompt_weighting=True,
                              width=128, height=128, steps=2, seed=1)
     assert img.shape == (1, 128, 128, 3)
+
+
+def test_sd3_executables_cached_across_calls():
+    """Serving contract: repeated same-shape calls reuse ONE compiled
+    executable per stage (encode / denoise scan / decode) — no per-request
+    retrace (minutes-scale on the real chip's remote-compile tunnel)."""
+    inf = SD3Inferencer_tiny()
+    tokens = np.zeros((1, 77), np.int32)
+    img1 = inf.gen_image(tokens, t5_tokens=tokens, width=128, height=128,
+                         steps=2, seed=1)
+    n_enc = len(inf._enc_cache)
+    n_den = len(inf._denoise_cache)
+    n_dec = len(inf._decode_cache)
+    img2 = inf.gen_image(tokens, t5_tokens=tokens, width=128, height=128,
+                         steps=2, seed=2)
+    assert (len(inf._enc_cache), len(inf._denoise_cache),
+            len(inf._decode_cache)) == (n_enc, n_den, n_dec)
+    assert n_enc == 1 and n_den == 1 and n_dec == 1
+    assert img1.shape == img2.shape
+    assert not np.array_equal(img1, img2)  # different seeds

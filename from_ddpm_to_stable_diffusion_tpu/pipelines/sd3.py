@@ -415,13 +415,20 @@ class SD3Inferencer:
 
     def vae_encode(self, images: np.ndarray, rng) -> jax.Array:
         m = self.models
-        h = m.vae_encoder.apply({"params": m.params["vae_encoder"]},
-                                jnp.asarray(images))
-        mean, log_var = jnp.split(h, 2, axis=-1)
-        log_var = jnp.clip(log_var, -30.0, 20.0)
-        z = mean + jnp.exp(0.5 * log_var) * jax.random.normal(
-            rng, mean.shape, mean.dtype)
-        return SD3LatentFormat.process_in(z)
+        key = ("enc", np.shape(images))
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            def encode(p, images, rng):
+                h = m.vae_encoder.apply({"params": p}, images)
+                mean, log_var = jnp.split(h, 2, axis=-1)
+                log_var = jnp.clip(log_var, -30.0, 20.0)
+                z = mean + jnp.exp(0.5 * log_var) * jax.random.normal(
+                    rng, mean.shape, mean.dtype)
+                return SD3LatentFormat.process_in(z)
+
+            fn = jax.jit(encode)
+            self._decode_cache[key] = fn
+        return fn(m.params["vae_encoder"], jnp.asarray(images), rng)
 
     def gen_image(self, clip_tokens: np.ndarray,
                   t5_tokens: Optional[np.ndarray] = None,

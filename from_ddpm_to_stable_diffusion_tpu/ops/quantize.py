@@ -40,11 +40,12 @@ from ..parallel.sharding import _path_str
 
 # the DismantledBlock FLOPs mass (models/mmdit.py) + T5 FF/attention
 # projections (models/text_encoders.py)
-# "/proj" not bare "proj": SD1ResBlock's tiny time_proj (M=B rows) must
-# stay bf16; "out" covers SD1 attention out + geglu_out (proj_out is a
-# conv — 4-D kernels are never quantized)
+# "/proj" and "/out", not bare substrings: SD1ResBlock's tiny time_proj
+# (M=B rows) must stay bf16, and a bare "out" also matches "rOUTer" — the
+# MoE router kernel, whose fp32 top-1 decisions must not flip with
+# quantization noise. (proj_out is a conv — 4-D kernels never quantize.)
 DEFAULT_TARGETS = re.compile(
-    r"(qkv|/proj|out|geglu_in|mlp_fc1|mlp_fc2|wi_0|wi_1|wo"
+    r"(qkv|/proj|/out|geglu_in|geglu_out|mlp_fc1|mlp_fc2|wi_0|wi_1|wo"
     r"|/q|/k|/v|/o)/kernel$")
 
 

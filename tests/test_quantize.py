@@ -313,3 +313,32 @@ def test_quantized_params_init_shapes_match_converter():
     sc = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), qconv)
     chex = pytest.importorskip("chex")
     chex.assert_trees_all_equal(si, sc)
+
+
+def test_quantize_skips_moe_router_and_experts():
+    """int8_mm composes with moe_experts: projection kernels quantize, the
+    MoE router kernel (fp32 top-1 decisions) and 3-D expert tensors do
+    NOT, and the combined model applies."""
+    import dataclasses
+
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (MMDiT,
+                                                                MMDiTConfig)
+
+    cfg = MMDiTConfig(depth=2, in_channels=4, adm_in_channels=8,
+                      context_dim=16, pos_embed_max_size=8,
+                      moe_experts=4, int8_mm=True)
+    base = MMDiT(dataclasses.replace(cfg, int8_mm=False))
+    model = MMDiT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    t = jnp.asarray([1.0, 500.0])
+    y = jax.random.normal(jax.random.key(1), (2, 8))
+    ctx = jax.random.normal(jax.random.key(2), (2, 6, 16))
+    params = base.init(jax.random.key(3), x, t, y, ctx)["params"]
+    q = quantize_tree(params)
+    moe = q["joint_block0"]["x_block"]["moe"]
+    assert "kernel" in moe["router"]           # router NOT quantized
+    assert moe["router"]["kernel"].dtype != jnp.int8
+    assert moe["wi"].ndim == 3                 # experts untouched
+    assert q["joint_block0"]["x_block"]["qkv"]["q"].dtype == jnp.int8
+    out = model.apply({"params": q}, x, t, y, ctx)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())

@@ -23,14 +23,26 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 def build_native(name: str = "bpe_tokenizer",
                  force: bool = False) -> str:
-    """Compile native/<name>.cpp → native/lib<name>.so (cached)."""
+    """Compile native/<name>.cpp → native/lib<name>.so (cached).
+
+    Compiles to a process-unique temp path and os.rename()s it into place
+    (atomic on the same filesystem) so concurrent builders — multiple
+    serving workers, pytest-xdist — can never dlopen a partially written
+    .so or race the mtime check into a crash; last writer wins with a
+    complete binary either way."""
     src = os.path.join(_NATIVE_DIR, f"{name}.cpp")
     lib = os.path.join(_NATIVE_DIR, f"lib{name}.so")
     if force or not os.path.exists(lib) or (
             os.path.getmtime(src) > os.path.getmtime(lib)):
+        tmp = f"{lib}.{os.getpid()}.tmp"
         cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src,
-               "-o", lib]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
+               "-o", tmp]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            os.rename(tmp, lib)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return lib
 
 

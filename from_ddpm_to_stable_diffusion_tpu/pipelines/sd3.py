@@ -302,7 +302,10 @@ class SD3Inferencer:
         w = (jnp.asarray(np.asarray(clip_weights, np.float32))
              if has_w else jnp.zeros((toks.shape[0], toks.shape[1]),
                                      jnp.float32))
-        key = (toks.shape[0], has_w, m.t5 is not None)
+        # module ids: a swap (e.g. quantize_int8 rebuilding int8_mm
+        # modules) must compile fresh closures, not reuse bf16 ones
+        key = (toks.shape[0], has_w, m.t5 is not None,
+               id(m.clip_l), id(m.clip_g), id(m.t5))
         fn = self._enc_cache.get(key)
         if fn is None:
             def encode(params, toks, toks_g, t5_toks, w):
@@ -378,9 +381,14 @@ class SD3Inferencer:
         sig_const = np.asarray(sigmas)
 
         # compile-once: the scan executable is cached per shape class and
-        # schedule; sigmas bake in as constants, params stay arguments
-        key = (x.shape, ctx.shape, len(sig_const), float(cfg_scale),
-               sampler, keep_trajectory)
+        # schedule; sigmas bake in as constants, params stay arguments.
+        # The key carries the schedule VALUES (tobytes), not just the
+        # length — two (steps, denoise_strength) pairs can trim to
+        # equal-length but different schedules — and id(m.mmdit) so a
+        # module swap (quantize_int8 rebuilds int8_mm modules) can never
+        # serve a stale closure.
+        key = (x.shape, ctx.shape, sig_const.tobytes(), float(cfg_scale),
+               sampler, keep_trajectory, id(m.mmdit))
         fn = self._denoise_cache.get(key)
         if fn is None:
             sample = {"euler": flow_euler_sample,
@@ -406,16 +414,17 @@ class SD3Inferencer:
 
     def vae_decode(self, latent) -> np.ndarray:
         m = self.models
-        fn = self._decode_cache.get(latent.shape)
+        key = (latent.shape, id(m.vae_decoder))
+        fn = self._decode_cache.get(key)
         if fn is None:
             fn = jax.jit(lambda p, z: to_uint8(m.vae_decoder.apply(
                 {"params": p}, SD3LatentFormat.process_out(z))))
-            self._decode_cache[latent.shape] = fn
+            self._decode_cache[key] = fn
         return np.asarray(fn(m.params["vae_decoder"], latent))
 
     def vae_encode(self, images: np.ndarray, rng) -> jax.Array:
         m = self.models
-        key = ("enc", np.shape(images))
+        key = ("enc", np.shape(images), id(m.vae_encoder))
         fn = self._decode_cache.get(key)
         if fn is None:
             def encode(p, images, rng):

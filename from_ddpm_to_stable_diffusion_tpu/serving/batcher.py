@@ -104,6 +104,7 @@ class DynamicBatcher:
         self.buckets = tuple(int(b) for b in buckets)
         self.max_wait_s = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._closed = False
         self._lock = threading.Lock()
         self._metrics = {
             "requests": 0, "served": 0, "failed": 0, "batches": 0,
@@ -119,6 +120,9 @@ class DynamicBatcher:
 
     def submit(self, request: GenerateRequest) -> Future:
         fut = Future()
+        if self._closed:
+            fut._fail(RuntimeError("server shutting down"))
+            return fut
         with self._lock:
             self._metrics["requests"] += 1
         try:
@@ -158,6 +162,7 @@ class DynamicBatcher:
         return m
 
     def shutdown(self, timeout: float = 10.0) -> None:
+        self._closed = True  # reject submits that would never be served
         self._q.put(_SHUTDOWN)
         self._worker.join(timeout)
 
@@ -168,6 +173,7 @@ class DynamicBatcher:
         while True:
             item = stash.pop() if stash else self._q.get()
             if item is _SHUTDOWN:
+                self._drain_and_fail(stash)
                 return
             if isinstance(item[0], _WarmupBatch):
                 self._run_warmup(item)
@@ -191,7 +197,31 @@ class DynamicBatcher:
                 batch.append(nxt)
             self._run(batch)
             if stop:
+                self._drain_and_fail(stash)
                 return
+
+    def _drain_and_fail(self, stash):
+        """On shutdown, fail every future still queued (or stashed
+        mid-coalesce) — otherwise callers blocked in Future.result() with
+        no timeout (warmup() is one) would hang forever."""
+        err = RuntimeError("server shutting down")
+        items = list(stash)
+        stash.clear()
+        while True:
+            try:
+                items.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        n = 0
+        for item in items:
+            if item is _SHUTDOWN:
+                continue
+            _, fut, _ = item
+            fut._fail(err)
+            n += 1
+        if n:
+            with self._lock:
+                self._metrics["failed"] += n
 
     def _run_warmup(self, item):
         wb, fut, _ = item

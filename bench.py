@@ -201,26 +201,25 @@ def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
     return ms
 
 
-# Last driver/on-chip measured numbers (1× TPU v5e). Primary value +
-# sd1/tiny numbers: BENCH_r02.json (driver-captured, 2026-08-17). The SD3
-# bf16/int8 steps are the round-3 on-chip session measurements after the
-# int8 + split-KV joint-attention levers landed (docs/SD3_16GB.md,
-# COVERAGE.md) — the relay died before the driver's round-3 bench could
-# re-capture them. Served with ``stale: true`` whenever the relay is down
-# so a dead relay never again leaves a BENCH_rN with no usable value.
+# Last on-chip measured numbers (1× TPU v5e), round-4 session run of this
+# exact script (2026-08-18) — includes the round-3 kernel fast paths
+# (pow2 q-tile prescale + no-mask) that were pending measurement. Served
+# with ``stale: true`` whenever the relay is down so a dead relay never
+# again leaves a BENCH_rN with no usable value.
 LAST_KNOWN_GOOD = {
     "metric": "sd1_pipeline_imgs_per_sec_512px_50step_cfg_bf16",
-    "value": 0.9006,
+    "value": 0.9042,
     "unit": "imgs/sec/chip",
     "vs_baseline": None,
     "stale": True,
     "extra": {
-        "sd1_denoise_step_ms": 21.18,
-        "sd1_pipeline_bs4_imgs_per_sec": 1.1123,
-        "sd3_medium_denoise_step_ms_1024px_cfg_bf16": 198.9,
-        "sd3_medium_denoise_step_ms_1024px_cfg_int8": 177.6,
-        "tiny_sd_train_imgs_per_sec": 377.8,
-        "tiny_sd_train_step_ms": 84.7,
+        "sd1_denoise_step_ms": 21.11,
+        "sd1_pipeline_bs4_imgs_per_sec": 1.1165,
+        "sd1_pipeline_bs8_imgs_per_sec": 1.1128,
+        "sd3_medium_denoise_step_ms_1024px_cfg_bf16": 195.2,
+        "sd3_medium_denoise_step_ms_1024px_cfg_int8": 174.07,
+        "tiny_sd_train_imgs_per_sec": 378.91,
+        "tiny_sd_train_step_ms": 84.45,
     },
 }
 
@@ -255,8 +254,8 @@ def _device_watchdog(timeout_s: float = 300.0):
         out["error"] = (f"no fresh TPU measurement possible: {cause}; "
                         "value is the last on-chip measurement (see "
                         "'stale_source')")
-        out["stale_source"] = ("BENCH_r02.json (driver) + round-3 on-chip "
-                               "session measurements (docs/SD3_16GB.md)")
+        out["stale_source"] = ("round-4 on-chip session run of bench.py "
+                               "(2026-08-18)")
         print(json.dumps(out))
         sys.exit(0)
     return devs

@@ -129,7 +129,12 @@ class SD1UNet(nn.Module):
         res = lambda c, nm: SD1ResBlock(c, dtype=dt, name=nm)
         att = lambda nm: TransformerBlock(self.num_heads, dtype=dt, name=nm,
                                           int8_mm=self.int8_mm)
-        down = lambda c, nm: nn.Conv(c, (3, 3), strides=2, dtype=dt, name=nm)
+        # stride-2 downsample: the reference uses torch padding=1, i.e.
+        # SYMMETRIC (1,1) — NOT XLA 'SAME', which pads (0,1) on even sizes
+        # and mis-aligns every window (caught by test_reference_parity).
+        down = lambda c, nm: nn.Conv(c, (3, 3), strides=2,
+                                     padding=((1, 1), (1, 1)), dtype=dt,
+                                     name=nm)
         up = lambda nm: nm  # placeholder for readability
 
         x = x.astype(dt)

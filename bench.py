@@ -208,18 +208,18 @@ def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
 # again leaves a BENCH_rN with no usable value.
 LAST_KNOWN_GOOD = {
     "metric": "sd1_pipeline_imgs_per_sec_512px_50step_cfg_bf16",
-    "value": 0.9042,
+    "value": 0.8939,
     "unit": "imgs/sec/chip",
     "vs_baseline": None,
     "stale": True,
     "extra": {
-        "sd1_denoise_step_ms": 21.11,
-        "sd1_pipeline_bs4_imgs_per_sec": 1.1165,
-        "sd1_pipeline_bs8_imgs_per_sec": 1.1128,
-        "sd3_medium_denoise_step_ms_1024px_cfg_bf16": 195.2,
-        "sd3_medium_denoise_step_ms_1024px_cfg_int8": 174.07,
-        "tiny_sd_train_imgs_per_sec": 378.91,
-        "tiny_sd_train_step_ms": 84.45,
+        "sd1_denoise_step_ms": 20.64,
+        "sd1_pipeline_bs4_imgs_per_sec": 1.0959,
+        "sd1_pipeline_bs8_imgs_per_sec": 1.0925,
+        "sd3_medium_denoise_step_ms_1024px_cfg_bf16": 185.05,
+        "sd3_medium_denoise_step_ms_1024px_cfg_int8": 164.62,
+        "tiny_sd_train_imgs_per_sec": 377.13,
+        "tiny_sd_train_step_ms": 84.85,
     },
 }
 

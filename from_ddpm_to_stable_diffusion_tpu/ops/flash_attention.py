@@ -76,9 +76,9 @@ def _seg_mask(qseg_ref, kvseg_ref, block_q, block_k):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
                 qb_ref, kb_ref, lo_ref, hi_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref,
+                acc_ref, m_ref, l_ref=None,
                 *, scale, causal, lk_actual, block_q, block_k, n_k, d, h,
-                remap):
+                remap, mxu_rowsum=False):
     iq = pl.program_id(q_ref.ndim - 2)      # grid (..., n_q, n_k)
     ik_grid = pl.program_id(q_ref.ndim - 1)
 
@@ -86,7 +86,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        if not mxu_rowsum:
+            l_ref[:] = jnp.zeros_like(l_ref)
 
     # Skip key blocks that are entirely padding, (when causal) blocks
     # strictly above the diagonal, and (when packed) blocks whose
@@ -151,11 +152,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
-            l_ref.shape)
+        vt = _ld(v_ref, block_k, d)
+        if mxu_rowsum:
+            # MXU rowsum: a ones-column appended to the V tile makes the
+            # SAME matmul emit the softmax denominator in acc column d —
+            # the VPU rowsum, the l scratch, and its 128-lane broadcast
+            # write all disappear (free lanes: d % 128 != 0, so the
+            # accumulator was padding to the same tile anyway). Measured
+            # 1.11x at the 4096² joint op point (tools/probe_mxu_rowsum.py).
+            vt = jnp.concatenate(
+                [vt, jnp.ones((block_k, 1), vt.dtype)], axis=-1)
+        else:
+            l_ref[:] = jnp.broadcast_to(
+                l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+                l_ref.shape)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), _ld(v_ref, block_k, d),
+            p.astype(v_ref.dtype), vt,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision)
@@ -163,9 +175,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
 
     @pl.when(ik_grid == n_k - 1)
     def _finalize():
-        l = l_ref[:, :1]
+        l = acc_ref[:, d:d + 1] if mxu_rowsum else l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        _st(o_ref, acc_ref[:] / safe_l)
+        _st(o_ref, acc_ref[:, :d] / safe_l)
         # lse block is (block_q, 1): the bwd kernels consume this layout
         # directly, and a 128-lane broadcast would write 128x the bytes
         _st(lse_ref, m_ref[:, :1] + jnp.log(safe_l))
@@ -403,10 +415,15 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
             _check_seg_hint(q_lo, q_hi, grid_nk, segment_ids)
         scalar_args = [q_lo, q_hi]
 
+    # MXU rowsum rides free only when d leaves padded lanes spare
+    # (d % 128 != 0); at exact multiples (e.g. the 512-wide VAE single
+    # head) the +1 column would grow the accumulator tile by a full
+    # 128-lane step, so those keep the VPU rowsum.
+    mxu_rowsum = (d % 128) != 0
     body = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, lk_actual=lk,
         block_q=block_q, block_k=block_k, n_k=grid_nk, d=d, h=h,
-        remap=remap)
+        remap=remap, mxu_rowsum=mxu_rowsum)
 
     def kernel(*refs):
         sc = refs[:2 * has_seg]             # lo/hi scalar refs (seg only)
@@ -420,10 +437,11 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
         body(*qkv, bias_r, *seg_rs, *lo_hi, *rest)
 
     scratch = [
-        pltpu.VMEM((block_q, d), jnp.float32),
-        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d + 1 if mxu_rowsum else d), jnp.float32),
         pltpu.VMEM((block_q, 128), jnp.float32),
     ]
+    if not mxu_rowsum:
+        scratch.append(pltpu.VMEM((block_q, 128), jnp.float32))
     if has_seg:
         call = pl.pallas_call(
             kernel,
@@ -1031,9 +1049,10 @@ def _pos_run(q_start, k_start, qoff_ref, koff_ref, *, causal, valid_len,
 
 
 def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
-                    acc_ref, m_ref, l_ref,
+                    acc_ref, m_ref, l_ref=None,
                     *, scale, causal, valid_len, seg_q, seg_k,
-                    lq_actual, lk_actual, block_q, block_k, n_k, d):
+                    lq_actual, lk_actual, block_q, block_k, n_k, d,
+                    mxu_rowsum=False):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
 
@@ -1041,7 +1060,8 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        if not mxu_rowsum:
+            l_ref[:] = jnp.zeros_like(l_ref)
 
     q_start = iq * block_q
     k_start = ik * block_k
@@ -1081,20 +1101,27 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
-            l_ref.shape)
+        vt = _ld(v_ref, block_k, d)
+        if mxu_rowsum:
+            # ones-column V augment: PV and the softmax denominator from
+            # one matmul (see _fwd_kernel; measured 1.11x at 4096²)
+            vt = jnp.concatenate(
+                [vt, jnp.ones((block_k, 1), vt.dtype)], axis=-1)
+        else:
+            l_ref[:] = jnp.broadcast_to(
+                l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+                l_ref.shape)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), _ld(v_ref, block_k, d),
+            p.astype(v_ref.dtype), vt,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(ik == n_k - 1)
     def _finalize():
-        l = l_ref[:, :1]
+        l = acc_ref[:, d:d + 1] if mxu_rowsum else l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        _st(o_ref, acc_ref[:] / safe_l)
+        _st(o_ref, acc_ref[:, :d] / safe_l)
         # fully-masked rows keep m = NEG_INF -> lse = NEG_INF + log 1, which
         # the ring's log-sum-exp merge treats as "no contribution".
         _st(lse_ref, m_ref[:, :1] + jnp.log(safe_l))
@@ -1129,11 +1156,19 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
     lq_p, lk_p = qp.shape[1], kp.shape[1]
     n_q, n_k = lq_p // block_q, lk_p // block_k
 
+    mxu_rowsum = (d % 128) != 0
+    scratch = [
+        pltpu.VMEM((block_q, d + 1 if mxu_rowsum else d), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+    ]
+    if not mxu_rowsum:
+        scratch.append(pltpu.VMEM((block_q, 128), jnp.float32))
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel_pos, scale=scale, causal=causal, valid_len=valid_len,
             seg_q=seg_q, seg_k=seg_k, lq_actual=lq, lk_actual=lk,
-            block_q=block_q, block_k=block_k, n_k=n_k, d=d),
+            block_q=block_q, block_k=block_k, n_k=n_k, d=d,
+            mxu_rowsum=mxu_rowsum),
         grid=(b * h, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
@@ -1150,11 +1185,7 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
             jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, lq_p, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qp, kp, vp, q_offsets.astype(jnp.int32), kv_offsets.astype(jnp.int32))
     out = out[:, :lq].reshape(b, h, lq, d)

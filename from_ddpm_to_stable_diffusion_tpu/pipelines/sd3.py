@@ -130,15 +130,24 @@ class SD3Models:
                    depth: int = 4, with_t5: bool = True,
                    t5_config: Optional[T5Config] = None,
                    pos_embed_max_size: int = 96,
-                   clip_l_cfg=CLIP_L_CONFIG, clip_g_cfg=CLIP_G_CONFIG
-                   ) -> "SD3Models":
+                   clip_l_cfg=CLIP_L_CONFIG, clip_g_cfg=CLIP_G_CONFIG,
+                   int8: bool = False) -> "SD3Models":
         """Random-init bundle (tests/bench); real use imports safetensors.
 
         ``depth=24`` with the real text-encoder configs reproduces
         SD3-medium; the default is a scaled-down stand-in.
+
+        ``int8``: build the all-resident W8A8 serving bundle directly —
+        each of mmdit/t5 runs init + dtype cast + quantize_tree as ONE
+        jitted program, so the full-precision init values are per-buffer
+        intermediates XLA frees as it goes. A full-scale SD3-medium bundle
+        (T5-XXL incl.) then never peaks near the bf16 15.6 GiB sum —
+        required to stand the stack up from random weights on one 16 GB
+        chip (quantize_int8() after the fact would pay that peak).
         """
         dt = POLICIES[dtype].compute_dtype
-        cfg = MMDiTConfig(depth=depth, pos_embed_max_size=pos_embed_max_size)
+        cfg = MMDiTConfig(depth=depth, pos_embed_max_size=pos_embed_max_size,
+                          int8_mm=int8)
         mmdit = MMDiT(cfg, dtype=dt)
         vae_e = SD3VAEEncoder(dtype=dt)
         vae_d = SD3VAEDecoder(dtype=dt)
@@ -146,29 +155,51 @@ class SD3Models:
                                dtype=dt)
         clip_g = CLIPTextModel(clip_g_cfg, intermediate_output=-2,
                                dtype=dt)
-        t5 = T5Encoder(t5_config or T5Config(), dtype=dt) if with_t5 else None
+        t5cfg = t5_config or T5Config()
+        if int8:
+            t5cfg = dataclasses.replace(t5cfg, int8_mm=True)
+        t5 = T5Encoder(t5cfg, dtype=dt) if with_t5 else None
         ks = jax.random.split(rng, 6)
+
         # jit each init: ONE compiled program per model instead of hundreds
         # of eager single-op dispatches (minutes-vs-seconds on the
-        # remote-compile tunnel with a cold cache)
+        # remote-compile tunnel with a cold cache). init always runs on the
+        # bf16 module variant; quantization happens inside the same program.
+        def _init_group(model, key, *args, quant=False):
+            def g(k):
+                p = model.init(k, *args)["params"]
+                p = _store_params(p, dt)
+                if quant:
+                    from ..ops.quantize import quantize_tree
+
+                    p = quantize_tree(p)
+                return p
+
+            return jax.jit(g)(key)
+
+        mmdit_init = (MMDiT(dataclasses.replace(cfg, int8_mm=False),
+                            dtype=dt) if int8 else mmdit)
+        t5_init = (T5Encoder(dataclasses.replace(t5cfg, int8_mm=False),
+                             dtype=dt) if (int8 and with_t5) else t5)
         params = {
-            "mmdit": jax.jit(mmdit.init)(
-                ks[0], jnp.zeros((1, 16, 16, 16)), jnp.zeros((1,)),
-                jnp.zeros((1, 2048)), jnp.zeros((1, 154, 4096)))["params"],
-            "vae_encoder": jax.jit(vae_e.init)(
-                ks[1], jnp.zeros((1, 32, 32, 3)))["params"],
-            "vae_decoder": jax.jit(vae_d.init)(
-                ks[2], jnp.zeros((1, 4, 4, 16)))["params"],
-            "clip_l": jax.jit(clip_l.init)(
-                ks[3], jnp.zeros((1, 77), jnp.int32))["params"],
-            "clip_g": jax.jit(clip_g.init)(
-                ks[4], jnp.zeros((1, 77), jnp.int32))["params"],
+            "mmdit": _init_group(
+                mmdit_init, ks[0], jnp.zeros((1, 16, 16, 16)),
+                jnp.zeros((1,)), jnp.zeros((1, 2048)),
+                jnp.zeros((1, 154, 4096)), quant=int8),
+            "vae_encoder": _init_group(vae_e, ks[1],
+                                       jnp.zeros((1, 32, 32, 3))),
+            "vae_decoder": _init_group(vae_d, ks[2],
+                                       jnp.zeros((1, 4, 4, 16))),
+            "clip_l": _init_group(clip_l, ks[3],
+                                  jnp.zeros((1, 77), jnp.int32)),
+            "clip_g": _init_group(clip_g, ks[4],
+                                  jnp.zeros((1, 77), jnp.int32)),
         }
         if with_t5:
-            params["t5"] = jax.jit(t5.init)(
-                ks[5], jnp.zeros((1, 77), jnp.int32))["params"]
-        return cls(mmdit, vae_e, vae_d, clip_l, clip_g, t5,
-                   _store_params(params, dt))
+            params["t5"] = _init_group(t5_init, ks[5],
+                                       jnp.zeros((1, 77), jnp.int32),
+                                       quant=int8)
+        return cls(mmdit, vae_e, vae_d, clip_l, clip_g, t5, params)
 
     def quantize_int8(self, groups=("mmdit", "t5")) -> "SD3Models":
         """Switch groups to the W8A8 int8 serving path (ops/quantize.py).

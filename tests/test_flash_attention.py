@@ -185,8 +185,10 @@ def test_flash_segment_ids_with_bias_and_grads():
         return _xla_attention(q, k, v, bias + _seg_bias(seg, seg), False,
                               32**-0.5).sum()
 
+    # 5e-5 on a ~10.7 sum: the MXU rowsum reassociates the fp32 softmax
+    # denominator (matmul tree order vs VPU reduce) — rel err ~2e-6
     np.testing.assert_allclose(np.asarray(f(q, k, v, bias)),
-                               np.asarray(g(q, k, v, bias)), atol=2e-5)
+                               np.asarray(g(q, k, v, bias)), atol=5e-5)
     g1 = jax.grad(f, argnums=(0, 3))(q, k, v, bias)
     g2 = jax.grad(g, argnums=(0, 3))(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),

@@ -74,6 +74,24 @@ def _seg_mask(qseg_ref, kvseg_ref, block_q, block_k):
     return jnp.broadcast_to(q_ids == kv_ids, (block_q, block_k))
 
 
+def _vma_of(*xs):
+    """Union of the varying-mesh-axes of traced inputs (empty outside
+    shard_map). Under a partial-manual ``jax.shard_map`` with
+    ``check_vma=True`` (e.g. parallel/pipeline.py's 1F1B over the 'stage'
+    axis, which keeps other axes auto so TP composes), every pallas_call
+    must DECLARE how its outputs vary — out_shapes carry ``vma=`` derived
+    from the inputs, since the kernels are elementwise-per-shard in the
+    mesh sense."""
+    vma = set()
+    for x in xs:
+        if x is None:
+            continue
+        v = getattr(jax.typeof(x), "vma", None)
+        if v:
+            vma |= set(v)
+    return frozenset(vma)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
                 qb_ref, kb_ref, lo_ref, hi_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref=None,
@@ -343,9 +361,10 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
         pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
         pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
     ]
+    vma = _vma_of(q, k, v, bias)
     out_shape = [
-        jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-        jax.ShapeDtypeStruct((b * h, lq_p, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype, vma=vma),
+        jax.ShapeDtypeStruct((b * h, lq_p, 1), jnp.float32, vma=vma),
     ]
 
     args = [qp, kp, vp]
@@ -795,12 +814,15 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
 
     dq_out_specs = [pl.BlockSpec((1, block_q, d),
                                  sig(lambda bh, iq, ik: (bh, iq, 0)))]
-    dq_out_shape = [jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype)]
+    vma = _vma_of(q, k, v, g)
+    dq_out_shape = [jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype,
+                                         vma=vma)]
     if has_bias:
         dq_out_specs.append(pl.BlockSpec(
             (1, block_q, block_k), sig(lambda bh, iq, ik: (bh, iq, ik))))
         dq_out_shape.append(
-            jax.ShapeDtypeStruct((b * h, lq_p, lk_p), jnp.float32))
+            jax.ShapeDtypeStruct((b * h, lq_p, lk_p), jnp.float32,
+                                 vma=vma))
 
     dq_in_specs = [
         pl.BlockSpec((1, block_q, d), sig(lambda bh, iq, ik: (bh, iq, 0))),
@@ -868,8 +890,10 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
                          sig(lambda bh, ik, iq: (bh, ik, 0))),
         ],
         [
-            jax.ShapeDtypeStruct((b * h, lk_p, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, lk_p, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h, lk_p, d), k.dtype,
+                                 vma=_vma_of(q, k, v, g)),
+            jax.ShapeDtypeStruct((b * h, lk_p, d), v.dtype,
+                                 vma=_vma_of(q, k, v, g)),
         ],
         [pltpu.VMEM((block_k, d), jnp.float32),
          pltpu.VMEM((block_k, d), jnp.float32)],
@@ -1182,8 +1206,10 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
             pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq_p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype,
+                                 vma=_vma_of(q, k, v)),
+            jax.ShapeDtypeStruct((b * h, lq_p, 1), jnp.float32,
+                                 vma=_vma_of(q, k, v)),
         ],
         scratch_shapes=scratch,
         interpret=interpret,
@@ -1363,7 +1389,8 @@ def flash_bwd_pos(q, k, v, g, lse, delta, q_offsets, kv_offsets, *,
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype,
+                                       vma=_vma_of(q, k, v, g)),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
     )(qp, kp, vp, gp, lse_p, delta_p, qo, ko)
@@ -1386,8 +1413,10 @@ def flash_bwd_pos(q, k, v, g, lse, delta, q_offsets, kv_offsets, *,
             pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, lk_p, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, lk_p, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h, lk_p, d), k.dtype,
+                                 vma=_vma_of(q, k, v, g)),
+            jax.ShapeDtypeStruct((b * h, lk_p, d), v.dtype,
+                                 vma=_vma_of(q, k, v, g)),
         ],
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],

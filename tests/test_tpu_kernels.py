@@ -241,3 +241,61 @@ def test_joint_flash_attention_on_chip_exact():
     np.testing.assert_allclose(
         np.asarray(jnp.concatenate([oc, ox], 2), np.float32),
         np.asarray(want, np.float32), atol=2e-2)
+
+
+def test_pp_flash_inside_shard_map_on_chip():
+    """PP × Pallas (ROADMAP open question, settled round 4): Mosaic accepts
+    pallas_call inside the PARTIAL-manual shard_map (axis_names={'stage'})
+    of parallel/pipeline.py — the out_shapes' vma declarations
+    (ops/flash_attention._vma_of) are what check_vma=True requires. A
+    1-device 'stage' mesh compiles the same composition the pod path uses;
+    forward AND the 1F1B training step, validated against the sequential
+    stack."""
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        MMDiT, MMDiTConfig, make_joint_block_stage_fn,
+        pipelined_joint_blocks, stack_joint_block_params)
+    from from_ddpm_to_stable_diffusion_tpu.parallel import build_mesh
+    from from_ddpm_to_stable_diffusion_tpu.parallel.pipeline import (
+        pipeline_value_and_grad)
+
+    mesh = build_mesh({"stage": 1}, jax.devices()[:1])
+    cfg = MMDiTConfig(depth=3, pos_embed_max_size=32)
+    hs = cfg.hidden_size
+    model = MMDiT(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((2, 64, 64, 16)), jnp.zeros((2,)),
+        jnp.zeros((2, 2048)), jnp.zeros((2, 128, 4096)))["params"]
+    ctx = _rand((2, 128, hs), 80) * 0.3
+    x = _rand((2, 1024, hs), 81) * 0.3   # >= the 512 flash floor
+    c = _rand((2, hs), 82) * 0.3
+
+    with jax.default_matmul_precision("highest"):
+        pctx, px = pipelined_joint_blocks(cfg, params, ctx, x, c, mesh,
+                                          n_microbatches=2)
+        lc = ctx.shape[1]
+        z = jnp.concatenate([ctx, x, c[:, None]], axis=1)
+        stage_fn = make_joint_block_stage_fn(cfg, lc, k=2)
+        sp = stack_joint_block_params(params, n_blocks=2, n_stages=1)
+        seq = stage_fn(jax.tree_util.tree_map(lambda p: p[0], sp), z)
+        np.testing.assert_allclose(_fetch(pctx), _fetch(seq[:, :lc]),
+                                   atol=2e-5)
+        np.testing.assert_allclose(_fetch(px), _fetch(seq[:, lc:-1]),
+                                   atol=2e-5)
+
+        targets = _rand(z.shape, 83) * 0.1
+        loss_fn = lambda y, t: jnp.mean((y - t) ** 2)
+        ploss, pgrads = pipeline_value_and_grad(
+            stage_fn, sp, z, targets, loss_fn, mesh, n_microbatches=2)
+
+        def seq_loss(sp):
+            out = [stage_fn(jax.tree_util.tree_map(lambda p: p[0], sp),
+                            z[i:i + 1]) for i in range(2)]
+            return jnp.mean(jnp.asarray(
+                [loss_fn(o, targets[i:i + 1]) for i, o in enumerate(out)]))
+
+        want_loss, want_grads = jax.jit(jax.value_and_grad(seq_loss))(sp)
+        np.testing.assert_allclose(float(ploss), float(want_loss),
+                                   atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(pgrads),
+                        jax.tree_util.tree_leaves(want_grads)):
+            np.testing.assert_allclose(_fetch(a), _fetch(b), atol=2e-5)

@@ -96,18 +96,132 @@ def sd3_batched(batch_sizes=(1, 2)):
     return rows
 
 
+def sd3_int8_e2e_curve(batch_sizes=(1, 2, 4), steps=50):
+    """ALL-RESIDENT int8 SD3-medium END TO END (text encode → 50-step
+    denoise → VAE decode) at image batch sizes — the serving mode
+    docs/SD3_16GB.md establishes. Full scale (T5-XXL incl.), random
+    weights, token-id entry (no tokenizer assets in this image)."""
+    import numpy as np
+
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import (
+        SD3Inferencer, SD3Models)
+
+    t0 = time.perf_counter()
+    models = SD3Models.initialize(jax.random.key(0), dtype="bf16",
+                                  depth=24, pos_embed_max_size=192,
+                                  int8=True)
+    inf = SD3Inferencer(models, shift=3.0)
+    print(f"[curve] sd3 int8 full-scale init: {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    rng = np.random.default_rng(1)
+    rows = []
+    for bs in batch_sizes:
+        ids = lambda hi: rng.integers(0, hi, (bs, 77)).astype(np.int32)
+        kw = dict(t5_tokens=ids(32128), clip_g_tokens=ids(49408),
+                  width=1024, height=1024, steps=steps, cfg_scale=5.0)
+        t0 = time.perf_counter()
+        img = inf.gen_image(ids(49408), seed=7, **kw)
+        compile_s = time.perf_counter() - t0
+        assert np.asarray(img).shape == (bs, 1024, 1024, 3)
+        iters = 2
+        t0 = time.perf_counter()
+        for i in range(iters):
+            np.asarray(inf.gen_image(ids(49408), seed=50 + i, **kw))
+        dt = time.perf_counter() - t0
+        ips, lat = bs * iters / dt, dt / iters
+        rows.append((bs, ips, lat, compile_s))
+        print(f"[curve] sd3-int8-e2e bs{bs}: {ips:.4f} imgs/s/chip, "
+              f"{lat:.2f} s/batch (compile {compile_s:.0f}s)",
+              file=sys.stderr)
+    return rows
+
+
+def sd1_load_test(rps=1.1, duration_s=90, buckets=(1, 2, 4, 8)):
+    """p50/p95 under load: Poisson arrivals into the bucketed
+    DynamicBatcher over the shipped SD1 pipeline. Offered load just above
+    the bs1 service rate (≈0.89 imgs/s) exercises real coalescing."""
+    import random as _random
+
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import (
+        SD1Generator, SD1Models)
+    from from_ddpm_to_stable_diffusion_tpu.serving.batcher import (
+        DynamicBatcher, GenerateRequest)
+
+    models = SD1Models.initialize(jax.random.key(0), dtype="bf16")
+    gen = SD1Generator(models, n_inference_steps=50)
+
+    def generate_fn(prompts, negatives, seeds):
+        return gen(list(prompts), uncond_prompts=list(negatives),
+                   per_sample_seeds=list(seeds))
+
+    batcher = DynamicBatcher(generate_fn, buckets=buckets)
+    t0 = time.perf_counter()
+    batcher.warmup(prompt="a photograph of an astronaut riding a horse")
+    print(f"[load] warmup (all buckets compiled): "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
+
+    rnd = _random.Random(0)
+    futs = []
+    t_end = time.monotonic() + duration_s
+    n = 0
+    while time.monotonic() < t_end:
+        futs.append(batcher.submit(GenerateRequest(
+            prompt="a photograph of an astronaut riding a horse",
+            seed=n)))
+        n += 1
+        time.sleep(rnd.expovariate(rps))
+    t0 = time.perf_counter()
+    for f in futs:
+        f.result(timeout=600)
+    drain = time.perf_counter() - t0
+    m = batcher.metrics()
+    batcher.shutdown()
+    m["offered_rps"] = rps
+    m["duration_s"] = duration_s
+    m["drain_s"] = round(drain, 1)
+    m["throughput_imgs_s"] = round(m["served"] / (duration_s + drain), 3)
+    print(f"[load] {m}", file=sys.stderr)
+    return m
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-sd1", action="store_true")
+    ap.add_argument("--skip-sd3", action="store_true")
+    ap.add_argument("--sd3-e2e", action="store_true",
+                    help="full-scale int8 all-resident SD3 end-to-end curve")
+    ap.add_argument("--load", action="store_true",
+                    help="SD1 Poisson load test through the DynamicBatcher")
+    args = ap.parse_args()
     print(f"[curve] devices: {jax.devices()}", file=sys.stderr)
-    sd1 = sd1_curve()
-    sd3 = sd3_batched()
-    print("\n| SD1 batch | imgs/s/chip | s/batch |")
-    print("|---|---|---|")
-    for bs, ips, lat, _ in sd1:
-        print(f"| {bs} | {ips:.3f} | {lat:.2f} |")
-    print("\n| SD3 image batch | ms/step | ms/step/image |")
-    print("|---|---|---|")
-    for bs, ms, per, _ in sd3:
-        print(f"| {bs} | {ms:.1f} | {per:.1f} |")
+    if not args.skip_sd1:
+        sd1 = sd1_curve()
+        print("\n| SD1 batch | imgs/s/chip | s/batch |")
+        print("|---|---|---|")
+        for bs, ips, lat, _ in sd1:
+            print(f"| {bs} | {ips:.3f} | {lat:.2f} |")
+    if not args.skip_sd3:
+        sd3 = sd3_batched()
+        print("\n| SD3 image batch | ms/step | ms/step/image |")
+        print("|---|---|---|")
+        for bs, ms, per, _ in sd3:
+            print(f"| {bs} | {ms:.1f} | {per:.1f} |")
+    if args.sd3_e2e:
+        rows = sd3_int8_e2e_curve()
+        print("\n| SD3 int8 e2e batch | imgs/s/chip | s/batch |")
+        print("|---|---|---|")
+        for bs, ips, lat, _ in rows:
+            print(f"| {bs} | {ips:.4f} | {lat:.2f} |")
+    if args.load:
+        m = sd1_load_test()
+        print(f"\nSD1 load test @ {m['offered_rps']} rps Poisson: "
+              f"{m['throughput_imgs_s']} imgs/s served, "
+              f"p50 {m.get('latency_ms_p50', 0)/1e3:.2f} s, "
+              f"p95 {m.get('latency_ms_p95', 0)/1e3:.2f} s, "
+              f"mean real batch "
+              f"{m['batched_requests'] / max(1, m['batches']):.2f}")
 
 
 if __name__ == "__main__":

@@ -331,6 +331,13 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
     # block_q=2048 measures ~10% faster standalone at (2,8,4096,40) but
     # fails to compile inside the full SD1 UNet program on the v5e
     # remote-compile service; 1024 is the safe default everywhere.
+    # WIDE heads (the 512-wide single-head VAE attention) scale the tiles
+    # down: 1024-row blocks at d=512 need ~18 MB of scoped VMEM (q/k/v +
+    # fp32 acc + logits + double buffering) — over the 16 MB limit
+    # (observed as a Mosaic stack OOM in the SD3 VAE decoder at batch 4).
+    if d > 256:
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
     block_q = _occupancy_block_q(block_q, lq)
@@ -683,6 +690,9 @@ def _flash_bwd_pallas(q, k, v, bias, segment_ids, out, lse, g, causal,
     emits dbias tiles (dlogits), reduced over broadcast dims here."""
     b, h, lq, d_orig = q.shape
     lk = k.shape[2]
+    if d_orig > 256:   # wide heads: keep scoped VMEM under 16 MB (see fwd)
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
     block_q = _occupancy_block_q(block_q, lq)
@@ -1172,6 +1182,9 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
         scale = d ** -0.5
     seg_q = lq if seg_q is None else seg_q
     seg_k = lk if seg_k is None else seg_k
+    if d > 256:   # wide heads: keep scoped VMEM under 16 MB (see _flash_fwd)
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
     qp = _pad_to(q.reshape(b * h, lq, d), 1, block_q)

@@ -148,6 +148,9 @@ def main():
     ap.add_argument("target", choices=["sd1", "tiny", "sd3", "sd3i8"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--cat", default=None,
+                    help="also list the top ops WITHIN this category "
+                         "(e.g. copy, convert) to attribute layout mass")
     ap.add_argument("--log-dir", default="/tmp/fdsd_profile")
     args = ap.parse_args()
 
@@ -164,6 +167,16 @@ def main():
     print(f"\n-- top {args.top} ops (ms/step) --")
     for name, ms in per_op.most_common(args.top):
         print(f"  {ms / args.iters:8.3f}  {name[:110]}")
+    if args.cat:
+        print(f"\n-- top ops in category '{args.cat}' (ms/step) --")
+        shown = 0
+        for name, ms in per_op.most_common():
+            if _category(name) != args.cat:
+                continue
+            print(f"  {ms / args.iters:8.3f}  {name[:110]}")
+            shown += 1
+            if shown >= 20:
+                break
 
 
 if __name__ == "__main__":

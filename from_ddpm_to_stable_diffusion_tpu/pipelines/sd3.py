@@ -444,14 +444,23 @@ class SD3Inferencer:
         return fn(m.params["mmdit"], x, ctx, pld)
 
     def vae_decode(self, latent) -> np.ndarray:
+        """Decode latents → uint8. Batches decode PER IMAGE (the reference
+        does too, sd3_infer.py:400-403): at 1024² the decoder's activation
+        ladder is ~GiB-scale per image, and a batched decode at the
+        all-resident op point (params ~9.5 GiB) exhausts HBM at batch ≥ 4
+        — while per-image chunks reuse the batch-1 executable and the
+        same activation buffers."""
         m = self.models
-        key = (latent.shape, id(m.vae_decoder))
+        key = ((1,) + tuple(latent.shape[1:]), id(m.vae_decoder))
         fn = self._decode_cache.get(key)
         if fn is None:
             fn = jax.jit(lambda p, z: to_uint8(m.vae_decoder.apply(
                 {"params": p}, SD3LatentFormat.process_out(z))))
             self._decode_cache[key] = fn
-        return np.asarray(fn(m.params["vae_decoder"], latent))
+        p = m.params["vae_decoder"]
+        return np.concatenate(
+            [np.asarray(fn(p, latent[i:i + 1]))
+             for i in range(latent.shape[0])], axis=0)
 
     def vae_encode(self, images: np.ndarray, rng) -> jax.Array:
         m = self.models

@@ -215,8 +215,13 @@ class JointBlock(nn.Module):
         if self.mesh is None:
             # split-KV joint attention: no stream concat, no alignment
             # padding on the dominant x×x call (ops/attention.py::
-            # joint_attention_blhd) — exact vs the concatenated call
-            ctx_attn, x_attn = joint_attention_blhd(ctx_qkv, x_qkv)
+            # joint_attention_blhd) — exact vs the concatenated call.
+            # qk-norm bounds every logit (|scale·q·k| <= sqrt(d)·g_q·g_k),
+            # so those models take the fixed-max softmax fast path
+            # (measured 1.16x on the x×x kernel, tools/probe_fixed_max.py)
+            ctx_attn, x_attn = joint_attention_blhd(
+                ctx_qkv, x_qkv,
+                stability="bounded" if self.qk_norm else "online")
             b, _, h, d = x_attn.shape
             ctx_attn = ctx_attn.reshape(b, lc, h * d)
             x_attn = x_attn.reshape(b, -1, h * d)

@@ -130,7 +130,8 @@ def multi_head_attention(
     return out.reshape(b, lq, dm)
 
 
-def joint_attention_blhd(ctx_qkv, x_qkv, interpret: bool = False):
+def joint_attention_blhd(ctx_qkv, x_qkv, interpret: bool = False,
+                         stability: str = "online"):
     """MMDiT joint attention over [context ‖ x] WITHOUT concatenating the
     streams: split-KV lse-merged flash calls (see
     flash_attention.joint_flash_attention). Inputs are (q, k, v) triples in
@@ -151,7 +152,8 @@ def joint_attention_blhd(ctx_qkv, x_qkv, interpret: bool = False):
         from .flash_attention import joint_flash_attention
 
         oc, ox = joint_flash_attention(qc, kc, vc, qx, kx, vx, d ** -0.5,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       stability=stability)
     else:  # CPU / short-seq path: concatenate + XLA (numerics oracle)
         lc = qc.shape[2]
         q, k, v = (jnp.concatenate(ab, axis=2)

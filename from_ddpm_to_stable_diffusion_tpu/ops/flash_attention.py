@@ -1086,14 +1086,15 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
                     acc_ref, m_ref, l_ref=None,
                     *, scale, causal, valid_len, seg_q, seg_k,
                     lq_actual, lk_actual, block_q, block_k, n_k, d,
-                    mxu_rowsum=False):
+                    mxu_rowsum=False, bounded=False):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        if not bounded:
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         if not mxu_rowsum:
             l_ref[:] = jnp.zeros_like(l_ref)
 
@@ -1131,25 +1132,48 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
                              seg_k=seg_k, lk_actual=lk_actual,
                              block_q=block_q, block_k=block_k)
             s = jnp.where(mask, s, NEG_INF)
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
         vt = _ld(v_ref, block_k, d)
-        if mxu_rowsum:
-            # ones-column V augment: PV and the softmax denominator from
-            # one matmul (see _fwd_kernel; measured 1.11x at 4096²)
-            vt = jnp.concatenate(
-                [vt, jnp.ones((block_k, 1), vt.dtype)], axis=-1)
+        if bounded:
+            # Bounded-logit fast path (stability="bounded"): fixed max 0 —
+            # no per-logit max-reduce, no m scratch, no alpha rescale of
+            # the accumulator.  exp(-M) would cancel in acc/l for ANY
+            # fixed M, so correctness only needs |logit| < ~80 (fp32 exp
+            # range with l <= L*e^max); provable for qk-normed models.
+            # Measured 1.16x at the SD3 joint x*x op point
+            # (tools/probe_fixed_max.py; the exp itself is free — the
+            # stability machinery was the cost).
+            p = jnp.exp(s)
+            if mxu_rowsum:
+                vt = jnp.concatenate(
+                    [vt, jnp.ones((block_k, 1), vt.dtype)], axis=-1)
+            else:
+                l_ref[:] = jnp.broadcast_to(
+                    l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True),
+                    l_ref.shape)
+            acc_ref[:] += jax.lax.dot_general(
+                p.astype(v_ref.dtype), vt,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
         else:
-            l_ref[:] = jnp.broadcast_to(
-                l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
-                l_ref.shape)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), vt,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            if mxu_rowsum:
+                # ones-column V augment: PV and the softmax denominator
+                # from one matmul (see _fwd_kernel; measured 1.11x @4096²)
+                vt = jnp.concatenate(
+                    [vt, jnp.ones((block_k, 1), vt.dtype)], axis=-1)
+            else:
+                l_ref[:] = jnp.broadcast_to(
+                    l_ref[:, :1] * alpha
+                    + jnp.sum(p, axis=-1, keepdims=True),
+                    l_ref.shape)
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), vt,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(ik == n_k - 1)
     def _finalize():
@@ -1158,13 +1182,16 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
         _st(o_ref, acc_ref[:, :d] / safe_l)
         # fully-masked rows keep m = NEG_INF -> lse = NEG_INF + log 1, which
         # the ring's log-sum-exp merge treats as "no contribution".
-        _st(lse_ref, m_ref[:, :1] + jnp.log(safe_l))
+        if bounded:   # fixed max 0: lse = log l; l == 0 means fully masked
+            _st(lse_ref, jnp.where(l == 0.0, NEG_INF, jnp.log(safe_l)))
+        else:
+            _st(lse_ref, m_ref[:, :1] + jnp.log(safe_l))
 
 
 def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
                         scale=None, seg_q=None, seg_k=None, valid_len=None,
                         block_q: int = 1024, block_k: int = 1024,
-                        interpret=False):
+                        interpret=False, stability: str = "online"):
     """Flash attention with global-position masking: returns (out, lse).
 
     q (B,H,Lq,D), k/v (B,H,Lk,D) are LOCAL blocks of a longer sequence;
@@ -1175,7 +1202,16 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
     key_pos > query_pos when ``causal``.  lse is fp32 (B,H,Lq); fully-masked
     rows yield lse = -1e30 and a zero partial.  NOT differentiable — ring
     attention drives the backward via flash_bwd_pos.
+
+    ``stability``: "online" (default) runs the running-max online softmax;
+    "bounded" uses a fixed max of 0 — exact softmax whenever every logit
+    stays within fp32 exp range (|scale·q·k| < ~80, guaranteed by qk-norm
+    models) and measured 1.16x at the SD3 joint x*x op point
+    (tools/probe_fixed_max.py: the stability machinery, not the exp, is
+    the per-logit cost).
     """
+    if stability not in ("online", "bounded"):
+        raise ValueError(f"stability must be online|bounded: {stability}")
     b, h, lq, d = q.shape
     lk = k.shape[2]
     if scale is None:
@@ -1205,7 +1241,7 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
             _fwd_kernel_pos, scale=scale, causal=causal, valid_len=valid_len,
             seg_q=seg_q, seg_k=seg_k, lq_actual=lq, lk_actual=lk,
             block_q=block_q, block_k=block_k, n_k=n_k, d=d,
-            mxu_rowsum=mxu_rowsum),
+            mxu_rowsum=mxu_rowsum, bounded=(stability == "bounded")),
         grid=(b * h, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
@@ -1469,10 +1505,11 @@ def merge_attention_partials(o1, lse1, o2, lse2):
 
 
 def _joint_fwd_impl(qc, kc, vc, qx, kx, vx, scale, block_q, block_k,
-                    interpret):
+                    interpret, stability="online"):
     z = jnp.zeros((2,), jnp.int32)
     f = functools.partial(flash_attention_pos, scale=scale, block_q=block_q,
-                          block_k=block_k, interpret=interpret)
+                          block_k=block_k, interpret=interpret,
+                          stability=stability)
     o_cc, l_cc = f(qc, kc, vc, z, z)
     o_cx, l_cx = f(qc, kx, vx, z, z)
     o_c, lse_c = merge_attention_partials(o_cc, l_cc, o_cx, l_cx)
@@ -1482,26 +1519,30 @@ def _joint_fwd_impl(qc, kc, vc, qx, kx, vx, scale, block_q, block_k,
     return o_c, o_x, lse_c, lse_x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def joint_flash_attention(qc, kc, vc, qx, kx, vx, scale, block_q=1024,
-                          block_k=1024, interpret=False):
+                          block_k=1024, interpret=False,
+                          stability="online"):
     """Joint attention over [context ‖ x] without concatenation or
     alignment padding. All tensors (B, H, L, D); returns (out_c, out_x) —
     each query stream attends over BOTH kv streams, bit-exact (up to fp
-    reassociation) with flash over the concatenated sequence."""
+    reassociation) with flash over the concatenated sequence.
+    ``stability="bounded"`` takes the fixed-max fast path (exact for
+    bounded logits, e.g. qk-norm models — see flash_attention_pos)."""
     o_c, o_x, _, _ = _joint_fwd_impl(qc, kc, vc, qx, kx, vx, scale,
-                                     block_q, block_k, interpret)
+                                     block_q, block_k, interpret, stability)
     return o_c, o_x
 
 
 def _joint_vjp_fwd(qc, kc, vc, qx, kx, vx, scale, block_q, block_k,
-                   interpret):
+                   interpret, stability):
     o_c, o_x, lse_c, lse_x = _joint_fwd_impl(
-        qc, kc, vc, qx, kx, vx, scale, block_q, block_k, interpret)
+        qc, kc, vc, qx, kx, vx, scale, block_q, block_k, interpret,
+        stability)
     return (o_c, o_x), (qc, kc, vc, qx, kx, vx, o_c, o_x, lse_c, lse_x)
 
 
-def _joint_vjp_bwd(scale, block_q, block_k, interpret, res, g):
+def _joint_vjp_bwd(scale, block_q, block_k, interpret, stability, res, g):
     qc, kc, vc, qx, kx, vx, o_c, o_x, lse_c, lse_x = res
     g_c, g_x = g
     z = jnp.zeros((2,), jnp.int32)

@@ -454,3 +454,49 @@ def test_joint_flash_attention_exact(lc, lx):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("d", [32, 128])
+def test_bounded_stability_matches_online(d):
+    """stability="bounded" (fixed-max softmax — the qk-norm fast path,
+    tools/probe_fixed_max.py) ≡ the online-softmax kernel: fwd, lse
+    (incl. masked key tails and fully-masked rows), and grads through
+    joint_flash_attention. d=32 exercises the MXU ones-column rowsum,
+    d=128 the VPU l-scratch branch."""
+    from from_ddpm_to_stable_diffusion_tpu.ops.flash_attention import (
+        NEG_INF, flash_attention_pos, joint_flash_attention)
+
+    l = 256
+    q, k, v = (_rand((1, 2, l, d), 90 + i) * 0.5 for i in range(3))
+    z = jnp.zeros((2,), jnp.int32)
+    kw = dict(block_q=128, block_k=128, interpret=INTERPRET)
+    o0, l0 = flash_attention_pos(q, k, v, z, z, valid_len=200, **kw)
+    o1, l1 = flash_attention_pos(q, k, v, z, z, valid_len=200,
+                                 stability="bounded", **kw)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), atol=2e-5)
+
+    # fully-masked rows keep the NEG_INF "no contribution" convention
+    _, l_masked = flash_attention_pos(q, k, v, z, z, valid_len=0,
+                                      stability="bounded", **kw)
+    assert float(np.asarray(l_masked).max()) <= NEG_INF
+
+    cot = _rand((1, 2, l, d), 95)
+
+    def f(stability):
+        def inner(qc, kc, vc, qx, kx, vx):
+            oc, ox = joint_flash_attention(qc, kc, vc, qx, kx, vx,
+                                           d ** -0.5, 128, 128, INTERPRET,
+                                           stability)
+            return (oc * cot[:, :, :l]).sum() + (ox * cot).sum()
+        return inner
+
+    qc, kc, vc = (a * 1.0 for a in (q, k, v))
+    qx, kx, vx = (_rand((1, 2, l, d), 96 + i) * 0.5 for i in range(3))
+    args = (qc, kc, vc, qx, kx, vx)
+    got = jax.grad(f("bounded"), argnums=tuple(range(6)))(*args)
+    want = jax.grad(f("online"), argnums=tuple(range(6)))(*args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4, rtol=1e-3)

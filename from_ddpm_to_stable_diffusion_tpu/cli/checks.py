@@ -28,6 +28,34 @@ def check_tiny():
     assert out.shape == x.shape
 
 
+def plot_schedule(out_path: str = "parameters.png",
+                  beta_1: float = 0.0015, beta_T: float = 0.0195,
+                  T: int = 1000):
+    """√ᾱ_t / √(1−ᾱ_t) noise-schedule curves — the reference's
+    visual_alpha() check (06_tiny_stable_diffusion/01_check.py:33-47)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..ops.schedules import ddpm_tables
+
+    tables = ddpm_tables(beta_1, beta_T, T)
+    plt.figure(figsize=(12, 8))
+    plt.plot(tables.sqrt_alphas_bar, label="sqrt_alphas_bar")
+    plt.plot(tables.sqrt_one_minus_alphas_bar,
+             label="sqrt_one_minus_alphas_bar", color="orange")
+    plt.title("DDPM Parameters")
+    plt.legend()
+    plt.xlabel("Timesteps")
+    plt.ylabel("Value")
+    plt.tight_layout()
+    plt.savefig(out_path)
+    plt.close()
+    print(f"schedule plot -> {out_path}")
+    return out_path
+
+
 def check_sd1():
     import jax
     import jax.numpy as jnp
@@ -221,7 +249,14 @@ def main(argv=None):
     ap.add_argument("--vocab-dir", help="dir with vocab.json + merges.txt")
     ap.add_argument("--prompt", action="append",
                     help="candidate captions (repeatable)")
+    ap.add_argument("--plot-schedule", metavar="OUT.png", nargs="?",
+                    const="parameters.png",
+                    help="tiny stage: plot the √ᾱ noise-schedule curves "
+                    "(reference visual_alpha, 06_…/01_check.py:33)")
     args = ap.parse_args(argv)
+    if args.stage == "tiny" and args.plot_schedule:
+        plot_schedule(args.plot_schedule)
+        return 0
     if args.stage == "weights":
         if not args.path:
             ap.error("weights mode needs a checkpoint path")

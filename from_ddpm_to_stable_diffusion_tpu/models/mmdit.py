@@ -20,6 +20,7 @@ only) exactly as the reference.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Optional
 
 import jax
@@ -193,6 +194,9 @@ class JointBlock(nn.Module):
     int8_mm: bool = False
     moe_experts: Optional[int] = None
     moe_mesh: Optional[object] = None
+    # None = auto ('bounded' iff qk_norm); loaders override to 'online'
+    # when qk_norm_logit_bound(params) exceeds BOUNDED_LOGIT_BUDGET
+    stability: Optional[str] = None
 
     def setup(self):
         # MoE on the x (latent-token) stream only: it carries 4096 of the
@@ -221,7 +225,8 @@ class JointBlock(nn.Module):
             # (measured 1.16x on the x×x kernel, tools/probe_fixed_max.py)
             ctx_attn, x_attn = joint_attention_blhd(
                 ctx_qkv, x_qkv,
-                stability="bounded" if self.qk_norm else "online")
+                stability=self.stability
+                or ("bounded" if self.qk_norm else "online"))
             b, _, h, d = x_attn.shape
             ctx_attn = ctx_attn.reshape(b, lc, h * d)
             x_attn = x_attn.reshape(b, -1, h * d)
@@ -257,6 +262,51 @@ class JointBlock(nn.Module):
         return new_context, new_x
 
 
+def qk_norm_logit_bound(params, head_dim: int, kind: str = "rms") -> float:
+    """Largest |scale·q·k| any attention logit can reach, from the LOADED
+    QKNorm gains — the safety certificate for ``stability='bounded'``.
+
+    rms ('rms'): ‖x̂‖₂ = √d exactly, so ‖g⊙x̂‖₂ ≤ max|g|·√d.
+    ln  ('ln'):  ‖(x−μ)/σ·g + b‖₂ ≤ max|g|·√d + ‖b‖₂.
+    Then |q·k|/√d ≤ term_q·term_k/√d.  Returns the max over all
+    (ln_q, ln_k) pairs in the tree.  A checkpoint with unusually large
+    gains can exceed the fp32 exp budget (~88, minus ln L for the sum) —
+    callers should fall back to the online softmax then (ADVICE r4)."""
+    import numpy as np
+
+    def term(node):
+        g = np.asarray(node["scale"], np.float64)
+        t = float(np.max(np.abs(g))) * math.sqrt(head_dim)
+        if kind == "ln" and "bias" in node:
+            t += float(np.linalg.norm(np.asarray(node["bias"], np.float64)))
+        return t
+
+    worst = 0.0
+
+    def walk(node):
+        nonlocal worst
+        if not isinstance(node, dict):
+            return
+        if "ln_q" in node and "ln_k" in node \
+                and isinstance(node["ln_q"], dict) \
+                and "scale" in node["ln_q"]:
+            worst = max(worst,
+                        term(node["ln_q"]) * term(node["ln_k"])
+                        / math.sqrt(head_dim))
+        for v in node.values():
+            walk(v)
+
+    walk(params)
+    return worst
+
+
+# fp32 exp overflows at ~88.7 and the softmax sum adds ln(L) ≈ 9 on top;
+# bounded-softmax auto-enable requires the certified bound to clear this
+# with margin (ADVICE r4: a checkpoint with large learned gains must
+# degrade to the online softmax, not overflow).
+BOUNDED_LOGIT_BUDGET = 70.0
+
+
 @dataclasses.dataclass(frozen=True)
 class MMDiTConfig:
     patch_size: int = 2
@@ -280,6 +330,10 @@ class MMDiTConfig:
     # when MMDiT(mesh=) carries one; aux balance losses land in the
     # 'losses' collection (MMDiTTrainer adds them at moe_aux_weight)
     moe_experts: Optional[int] = None
+    # softmax stability of the joint attention: None = auto ('bounded'
+    # iff qk_norm); loaders set 'online' when qk_norm_logit_bound() of
+    # the loaded gains exceeds BOUNDED_LOGIT_BUDGET
+    stability: Optional[str] = None
 
     @property
     def hidden_size(self) -> int:
@@ -334,6 +388,7 @@ class MMDiT(nn.Module):
                 dtype=self.dtype, mesh=sp_mesh, seq_axis=self.seq_axis,
                 seq_impl=cfg.attention_impl, int8_mm=cfg.int8_mm,
                 moe_experts=cfg.moe_experts, moe_mesh=ep_mesh,
+                stability=cfg.stability,
                 name=f"joint_block{i}")(context, xe, c)
 
         # final adaLN layer → (B, L, p²·C)

@@ -107,6 +107,21 @@ class VanillaVAE(nn.Module):
         h = self.final_conv(h)
         return jnp.tanh(h.astype(jnp.float32))
 
+    def sample(self, rng, num_samples: int, train: bool = False):
+        """Decode ``num_samples`` draws from the N(0, I) latent prior
+        (reference BaseVAE.sample / VanillaVAE.sample,
+        03_variational_autoencoder/models.py:19-20,128-133). ``rng``
+        replaces the torch ``current_device`` argument — JAX randomness
+        is explicit and placement is the runtime's job."""
+        z = jax.random.normal(rng, (num_samples, self.latent_dim),
+                              jnp.float32)
+        return self.decode(z.astype(self.dtype), train)
+
+    def generate(self, x, rng=None, train: bool = False):
+        """Reconstruct ``x``: forward()[0] (reference BaseVAE.generate,
+        03_variational_autoencoder/models.py:22-23,135-136)."""
+        return self(x, rng, train)[0]
+
     @staticmethod
     def loss(recon, x, mu, log_var, kld_weight: float):
         """MSE + M_N-weighted KLD (reference models.py:116-126)."""
@@ -237,6 +252,16 @@ class VQVAE(nn.Module):
         quantized, vq_loss, idx = self.vq(z)
         recon = self.decoder(quantized)
         return recon, vq_loss, idx
+
+    def sample(self, rng, num_samples: int):
+        """No prior over code indices — the reference raises here too
+        (03_variational_autoencoder/models.py:377-378)."""
+        raise NotImplementedError("VQVAE sampler is not implemented")
+
+    def generate(self, x):
+        """Reconstruct ``x``: forward()[0] (reference BaseVAE.generate,
+        03_variational_autoencoder/models.py:22-23)."""
+        return self(x)[0]
 
     def encode(self, x):
         """Continuous (pre-quantization) latents (B, H/8, W/8, D)."""

@@ -1083,7 +1083,7 @@ def _pos_run(q_start, k_start, qoff_ref, koff_ref, *, causal, valid_len,
 
 
 def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
-                    acc_ref, m_ref, l_ref=None,
+                    acc_ref, m_ref=None, l_ref=None,
                     *, scale, causal, valid_len, seg_q, seg_k,
                     lq_actual, lk_actual, block_q, block_k, n_k, d,
                     mxu_rowsum=False, bounded=False):
@@ -1230,18 +1230,31 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
     n_q, n_k = lq_p // block_q, lk_p // block_k
 
     mxu_rowsum = (d % 128) != 0
-    scratch = [
-        pltpu.VMEM((block_q, d + 1 if mxu_rowsum else d), jnp.float32),
-        pltpu.VMEM((block_q, 128), jnp.float32),
-    ]
+    bounded = stability == "bounded"
+    # the m scratch exists only for the online running max; the bounded
+    # fast path drops it entirely (ADVICE r4: don't allocate VMEM on the
+    # path whose point is shaving per-logit overhead)
+    scratch = [pltpu.VMEM((block_q, d + 1 if mxu_rowsum else d),
+                          jnp.float32)]
+    if not bounded:
+        scratch.append(pltpu.VMEM((block_q, 128), jnp.float32))
     if not mxu_rowsum:
         scratch.append(pltpu.VMEM((block_q, 128), jnp.float32))
+    body = functools.partial(
+        _fwd_kernel_pos, scale=scale, causal=causal, valid_len=valid_len,
+        seg_q=seg_q, seg_k=seg_k, lq_actual=lq, lk_actual=lk,
+        block_q=block_q, block_k=block_k, n_k=n_k, d=d,
+        mxu_rowsum=mxu_rowsum, bounded=bounded)
+
+    def _kernel_pos(q_ref, k_ref, v_ref, qoff, koff, o_ref, lse_ref, *scr):
+        scr = list(scr)
+        acc = scr.pop(0)
+        m = None if bounded else scr.pop(0)
+        l = None if mxu_rowsum else scr.pop(0)
+        body(q_ref, k_ref, v_ref, qoff, koff, o_ref, lse_ref, acc, m, l)
+
     out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel_pos, scale=scale, causal=causal, valid_len=valid_len,
-            seg_q=seg_q, seg_k=seg_k, lq_actual=lq, lk_actual=lk,
-            block_q=block_q, block_k=block_k, n_k=n_k, d=d,
-            mxu_rowsum=mxu_rowsum, bounded=(stability == "bounded")),
+        _kernel_pos,
         grid=(b * h, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.mmdit import MMDiT, MMDiTConfig
+from ..models.mmdit import (BOUNDED_LOGIT_BUDGET, MMDiT,
+                            MMDiTConfig, qk_norm_logit_bound)
 from ..models.sd3_vae import SD3LatentFormat, SD3VAEDecoder, SD3VAEEncoder
 from ..models.text_encoders import (CLIP_G_CONFIG, CLIP_L_CONFIG,
                                     CLIPTextModel, T5Config, T5Encoder,
@@ -107,6 +108,15 @@ class SD3Models:
             sd3_path)
         params = {"mmdit": mmdit_params, "vae_encoder": enc_params,
                   "vae_decoder": dec_params}
+        if cfg.qk_norm:
+            # certify the bounded-softmax fast path against the LOADED
+            # gains; unusually large checkpoints degrade gracefully to
+            # the online softmax instead of overflowing exp (ADVICE r4)
+            bound = qk_norm_logit_bound(mmdit_params, 64, cfg.qk_norm)
+            if bound >= BOUNDED_LOGIT_BUDGET:
+                print(f"[sd3] qk-norm logit bound {bound:.1f} >= "
+                      f"{BOUNDED_LOGIT_BUDGET:.0f}: online softmax")
+                cfg = dataclasses.replace(cfg, stability="online")
         mmdit = MMDiT(cfg, dtype=dt)
         clip_l = CLIPTextModel(CLIP_L_CONFIG, intermediate_output=-2,
                                dtype=dt)

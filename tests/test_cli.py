@@ -216,3 +216,12 @@ def test_sd3_cli_img2img(tmp_path):
                    "--height", "128", "--steps", "4", "--strength", "0.5",
                    "--init-image", str(src), "--out", str(out)])
     assert rc == 0 and out.exists()
+
+
+def test_checks_plot_schedule(tmp_path):
+    """visual_alpha equivalent (reference 06_…/01_check.py:33-47)."""
+    from from_ddpm_to_stable_diffusion_tpu.cli import checks
+
+    out = tmp_path / "parameters.png"
+    checks.main(["tiny", "--plot-schedule", str(out)])
+    assert out.exists() and out.stat().st_size > 1000

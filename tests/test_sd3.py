@@ -419,3 +419,35 @@ def test_sd3_executables_cached_across_calls():
     assert n_enc == 1 and n_den == 1 and n_dec == 1
     assert img1.shape == img2.shape
     assert not np.array_equal(img1, img2)  # different seeds
+
+
+def test_qk_norm_logit_bound_gates_bounded_softmax():
+    """Loaders certify the bounded-softmax fast path against the LOADED
+    QKNorm gains (ADVICE r4): ones-init gains are safe; a pathological
+    checkpoint with huge gains must exceed the budget."""
+    import numpy as np
+
+    from from_ddpm_to_stable_diffusion_tpu.models.mmdit import (
+        BOUNDED_LOGIT_BUDGET, qk_norm_logit_bound)
+
+    d = 64
+    safe = {"joint_block0": {"x_block": {
+        "ln_q": {"scale": np.ones((d,), np.float32)},
+        "ln_k": {"scale": np.ones((d,), np.float32)}}}}
+    # |logit| <= sqrt(d)·1·1 = 8 for unit gains
+    b = qk_norm_logit_bound(safe, d, "rms")
+    assert abs(b - d ** 0.5) < 1e-6 and b < BOUNDED_LOGIT_BUDGET
+
+    hot = {"blk": {
+        "ln_q": {"scale": np.full((d,), 4.0, np.float32)},
+        "ln_k": {"scale": np.full((d,), 4.0, np.float32)}}}
+    assert qk_norm_logit_bound(hot, d, "rms") >= BOUNDED_LOGIT_BUDGET
+
+    # 'ln' adds the bias l2 term
+    ln = {"blk": {
+        "ln_q": {"scale": np.ones((d,), np.float32),
+                 "bias": np.full((d,), 2.0, np.float32)},
+        "ln_k": {"scale": np.ones((d,), np.float32),
+                 "bias": np.zeros((d,), np.float32)}}}
+    expect = (d ** 0.5 + 2.0 * d ** 0.5) * d ** 0.5 / d ** 0.5
+    assert abs(qk_norm_logit_bound(ln, d, "ln") - expect) < 1e-5

@@ -105,3 +105,38 @@ def test_vae_training_smoke(model_name, devices8):
     assert np.mean(losses[-2:]) < np.mean(losses[:2])
     recon = trainer.reconstruct(state, np.zeros((2, 32, 32, 3), np.float32))
     assert recon.shape == (2, 32, 32, 3)
+
+
+def test_vanilla_vae_sample_and_generate():
+    """Prior-sample + reconstruct convenience API (reference
+    03_variational_autoencoder/models.py:19-23,128-136)."""
+    model = VanillaVAE(image_size=32, latent_dim=16,
+                       hidden_dims=(8, 16, 32, 32, 32))
+    x = jnp.zeros((2, 32, 32, 3))
+    rngs = {"params": jax.random.key(0), "latent": jax.random.key(1)}
+    variables = model.init(rngs, x)
+
+    imgs = model.apply(variables, jax.random.key(3), 4,
+                       method=VanillaVAE.sample)
+    assert imgs.shape == (4, 32, 32, 3)
+    assert float(jnp.abs(imgs).max()) <= 1.0
+
+    # sample() decodes exactly the prior draw it makes
+    z = jax.random.normal(jax.random.key(3), (4, 16), jnp.float32)
+    direct = model.apply(variables, z, method=VanillaVAE.decode)
+    np.testing.assert_allclose(np.asarray(imgs), np.asarray(direct),
+                               atol=1e-6)
+
+    recon = model.apply(variables, x, jax.random.key(2),
+                        method=VanillaVAE.generate)
+    assert recon.shape == x.shape
+
+
+def test_vqvae_generate_and_sample_raises():
+    model = VQVAE(embedding_dim=4, num_embeddings=16, hidden_dims=(8, 16))
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x)
+    recon = model.apply(variables, x, method=VQVAE.generate)
+    assert recon.shape == x.shape
+    with pytest.raises(NotImplementedError):
+        model.apply(variables, jax.random.key(1), 2, method=VQVAE.sample)

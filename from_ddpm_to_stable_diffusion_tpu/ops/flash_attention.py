@@ -33,6 +33,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+
+# Softmax exponential mode for the bf16 forward kernels (measured on a
+# v5e, tools/probe_exp2.py — the winner "exp" is the default):
+#   "exp":  natural-exp online softmax, per-logit s·scale multiply for
+#           non-pow2 scales.  MEASURED FASTEST: the VPU exponential is
+#           not exp2-plus-multiply in disguise, so rebasing buys nothing.
+#   "exp2": rebased base-2 softmax — p = exp2(s·k2 − m·k2), k2 =
+#           c_rem·log2(e); for NON-pow2 scales with no bias (SD1's
+#           d=40/80) the scale folds into k2.  Measured 0.921x at the SD3
+#           x×x op point and 0.960x at SD1 @64² — exp2 lowering costs
+#           more than the multiply it saves.  Kept as a togglable probe
+#           arm (ADVICE r4: the probe must really toggle the kernels).
+#   "fma":  natural exp with the non-pow2 scale folded into the exp
+#           argument (p = exp(s·c − m·c), one FMA) — kills the
+#           standalone per-logit multiply without touching exp.
+# fp32 inputs and bias'd logits always take the plain "exp" path.
+_softmax_mode = "exp"
+
+
+def _resolve_softmax(dtype, has_bias):
+    if dtype != jnp.bfloat16 or has_bias:
+        return "exp"
+    return _softmax_mode
 
 
 def _is_pow2(x: float) -> bool:
@@ -96,7 +120,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
                 qb_ref, kb_ref, lo_ref, hi_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref=None,
                 *, scale, causal, lk_actual, block_q, block_k, n_k, d, h,
-                remap, mxu_rowsum=False):
+                remap, mxu_rowsum=False, smode="exp"):
     iq = pl.program_id(q_ref.ndim - 2)      # grid (..., n_q, n_k)
     ik_grid = pl.program_id(q_ref.ndim - 1)
 
@@ -137,6 +161,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
     prescale = _is_pow2(scale)
     no_mask = (not causal and qseg_ref is None
                and lk_actual % block_k == 0)
+    # "exp2"/"fma" + non-pow2 scale: keep s in the RAW qk domain (order
+    # is preserved, scale > 0) and fold the scale into the exponential's
+    # coefficient — no standalone per-logit multiply (requires no bias:
+    # bias adds in the scaled domain)
+    fold = smode in ("exp2", "fma") and not prescale and bias_ref is None
+    rebase = smode == "exp2"
+    c_rem = scale if fold else 1.0      # remaining scale in the s domain
+    k2 = c_rem * (LOG2E if rebase else 1.0)
+    efn = jnp.exp2 if rebase else jnp.exp
 
     @pl.when(run)
     def _compute():
@@ -149,7 +182,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision)
-        if not prescale:
+        if not prescale and not fold:
             s = s * scale
         if bias_ref is not None:
             s = s + _ld(bias_ref, block_q, block_k).astype(jnp.float32)
@@ -168,8 +201,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
 
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        if rebase or fold:
+            alpha = efn((m_prev - m_new) * k2)
+            p = efn(s * k2 - m_new * k2)   # per-logit FMA + exp/exp2
+        else:
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
         vt = _ld(v_ref, block_k, d)
         if mxu_rowsum:
             # MXU rowsum: a ones-column appended to the V tile makes the
@@ -197,8 +234,116 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, qseg_ref, kvseg_ref,
         safe_l = jnp.where(l == 0.0, 1.0, l)
         _st(o_ref, acc_ref[:, :d] / safe_l)
         # lse block is (block_q, 1): the bwd kernels consume this layout
-        # directly, and a 128-lane broadcast would write 128x the bytes
-        _st(lse_ref, m_ref[:, :1] + jnp.log(safe_l))
+        # directly, and a 128-lane broadcast would write 128x the bytes.
+        # Under ``fold`` m lives in the raw qk domain: rescale here.
+        _st(lse_ref, m_ref[:, :1] * c_rem + jnp.log(safe_l))
+
+
+def _fwd_kernel_wide(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                     *, scale, lk_actual, lk_p, d, mxu_rowsum):
+    """Single-pass forward: the WHOLE K/V for this (b, h) sits in VMEM, so
+    one q tile computes its full logit row in ONE matmul, takes the EXACT
+    row max, and applies softmax + PV with zero online-stability machinery
+    (no m/l carry, no acc rescale, no k-grid revisits).
+
+    Why this and not "head packing": at small head dims (SD1's d=40/80)
+    the MXU pads the contraction/output lanes to 128 — and any single
+    matmul producing all H heads' logits needs M·N·K ≥ Lq·(H·Lk)·128pad,
+    identical to H separate padded matmuls (block-diagonal operands burn
+    exactly the lanes they save; measured in tools/probe_head_pack.py).
+    The padded matmul floor is therefore a hardware constant; what IS
+    recoverable is the ~33% overhead ABOVE that floor (online-softmax
+    bookkeeping + k-block boundaries — docs/SD1_STEP_PROFILE.md), which
+    this kernel removes for shapes whose K/V fit in VMEM.
+    """
+    s = jax.lax.dot_general(
+        _ld(q_ref, q_ref.shape[-2], d),
+        _ld(k_ref, lk_p, d),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT))
+    if not _is_pow2(scale):      # pow2 scales are folded into q host-side
+        s = s * scale
+    if lk_actual != lk_p:        # zero-padded K rows must not join softmax
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < lk_actual, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)     # exact max — no carry
+    p = jnp.exp(s - m)
+    vt = _ld(v_ref, lk_p, d)
+    if mxu_rowsum:
+        vt = jnp.concatenate([vt, jnp.ones((lk_p, 1), vt.dtype)], axis=-1)
+        acc = jax.lax.dot_general(
+            p.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        l = acc[:, d:d + 1]
+        o = acc[:, :d]
+    else:
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    _st(o_ref, o / safe_l)
+    _st(lse_ref, m + jnp.log(safe_l))
+
+
+# Single-pass threshold: whole-K/V VMEM bytes (k + v bf16, double-buffered
+# by Mosaic) the wide path may spend.  4096×128 bf16 k+v = 2 MiB ×2 buffers
+# leaves >10 MiB for the fp32 logit row at block_q ≤ 512.
+_WIDE_KV_BYTES = 4 * 1024 * 1024
+_wide_enabled = True   # probe/test hook
+
+
+def _wide_eligible(lq, lk, d, dtype, has_bias, has_seg, causal):
+    if not _wide_enabled or has_bias or has_seg or causal:
+        return False
+    if d > 128 or lq < 512:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    lk_p = _cdiv(lk, 128) * 128
+    return 2 * lk_p * max(d, 128) * itemsize <= _WIDE_KV_BYTES
+
+
+def _flash_fwd_wide(q, k, v, scale, interpret=False):
+    """(out (B,H,Lq,D), lse (B,H,Lq) fp32) via the single-pass kernel."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if _is_pow2(scale):
+        q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # lossless
+    # fp32 logit row (block_q, lk_p) + its bf16 cast dominate VMEM; budget
+    # ~6 MiB for them -> block_q 512 up to lk 2048, 256 at lk 4096.
+    lk_p = _cdiv(lk, 128) * 128
+    block_q = max(128, min(512, (6 * 2 ** 20) // (6 * lk_p) // 128 * 128))
+    block_q = min(block_q, _cdiv(lq, 128) * 128)
+    qp = _pad_to(q.reshape(b * h, lq, d), 1, block_q)
+    kp = _pad_to(k.reshape(b * h, lk, d), 1, 128)
+    vp = _pad_to(v.reshape(b * h, lk, d), 1, 128)
+    n_q = qp.shape[1] // block_q
+    mxu_rowsum = (d % 128) != 0
+    vma = _vma_of(q, k, v)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_wide, scale=scale, lk_actual=lk,
+                          lk_p=lk_p, d=d, mxu_rowsum=mxu_rowsum),
+        grid=(b * h, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, lk_p, d), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_p, d), lambda bh, iq: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq: (bh, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, qp.shape[1], d), q.dtype, vma=vma),
+            jax.ShapeDtypeStruct((b * h, qp.shape[1], 1), jnp.float32,
+                                 vma=vma),
+        ],
+        interpret=interpret)(qp, kp, vp)
+    out = out[:, :lq].reshape(b, h, lq, d)
+    lse = lse[:, :lq, 0].reshape(b, h, lq)
+    return out, lse
 
 
 def _occupancy_block_q(block_q: int, lq: int) -> int:
@@ -328,6 +473,9 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    if _wide_eligible(lq, lk, d, q.dtype, bias is not None,
+                      segment_ids is not None, causal):
+        return _flash_fwd_wide(q, k, v, scale, interpret)
     # block_q=2048 measures ~10% faster standalone at (2,8,4096,40) but
     # fails to compile inside the full SD1 UNet program on the v5e
     # remote-compile service; 1024 is the safe default everywhere.
@@ -449,7 +597,8 @@ def _flash_fwd(q, k, v, bias, segment_ids, causal, scale, block_q, block_k,
     body = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, lk_actual=lk,
         block_q=block_q, block_k=block_k, n_k=grid_nk, d=d, h=h,
-        remap=remap, mxu_rowsum=mxu_rowsum)
+        remap=remap, mxu_rowsum=mxu_rowsum,
+        smode=_resolve_softmax(q.dtype, has_bias))
 
     def kernel(*refs):
         sc = refs[:2 * has_seg]             # lo/hi scalar refs (seg only)
@@ -1086,7 +1235,7 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
                     acc_ref, m_ref=None, l_ref=None,
                     *, scale, causal, valid_len, seg_q, seg_k,
                     lq_actual, lk_actual, block_q, block_k, n_k, d,
-                    mxu_rowsum=False, bounded=False):
+                    mxu_rowsum=False, bounded=False, smode="exp"):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
 
@@ -1115,6 +1264,11 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
                and lk_actual % block_k == 0)
 
     prescale = _is_pow2(scale)
+    fold = smode in ("exp2", "fma") and not prescale   # see _fwd_kernel
+    rebase = smode == "exp2"
+    c_rem = scale if fold else 1.0
+    k2 = c_rem * (LOG2E if rebase else 1.0)
+    efn = jnp.exp2 if rebase else jnp.exp
 
     @pl.when(run)
     def _compute():
@@ -1124,7 +1278,7 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
             _ld(k_ref, block_k, d),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        if not prescale:
+        if not prescale and not fold:
             s = s * scale
         if not no_mask:
             mask = _pos_mask(q_start, k_start, qoff_ref, koff_ref,
@@ -1142,7 +1296,7 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
             # Measured 1.16x at the SD3 joint x*x op point
             # (tools/probe_fixed_max.py; the exp itself is free — the
             # stability machinery was the cost).
-            p = jnp.exp(s)
+            p = efn(s * k2) if (rebase or fold) else jnp.exp(s)
             if mxu_rowsum:
                 vt = jnp.concatenate(
                     [vt, jnp.ones((block_k, 1), vt.dtype)], axis=-1)
@@ -1157,8 +1311,12 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
         else:
             m_prev = m_ref[:, :1]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
+            if rebase or fold:
+                alpha = efn((m_prev - m_new) * k2)
+                p = efn(s * k2 - m_new * k2)
+            else:
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
             if mxu_rowsum:
                 # ones-column V augment: PV and the softmax denominator
                 # from one matmul (see _fwd_kernel; measured 1.11x @4096²)
@@ -1185,7 +1343,7 @@ def _fwd_kernel_pos(q_ref, k_ref, v_ref, qoff_ref, koff_ref, o_ref, lse_ref,
         if bounded:   # fixed max 0: lse = log l; l == 0 means fully masked
             _st(lse_ref, jnp.where(l == 0.0, NEG_INF, jnp.log(safe_l)))
         else:
-            _st(lse_ref, m_ref[:, :1] + jnp.log(safe_l))
+            _st(lse_ref, m_ref[:, :1] * c_rem + jnp.log(safe_l))
 
 
 def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
@@ -1244,7 +1402,8 @@ def flash_attention_pos(q, k, v, q_offsets, kv_offsets, *, causal=False,
         _fwd_kernel_pos, scale=scale, causal=causal, valid_len=valid_len,
         seg_q=seg_q, seg_k=seg_k, lq_actual=lq, lk_actual=lk,
         block_q=block_q, block_k=block_k, n_k=n_k, d=d,
-        mxu_rowsum=mxu_rowsum, bounded=bounded)
+        mxu_rowsum=mxu_rowsum, bounded=bounded,
+        smode=_resolve_softmax(q.dtype, False))
 
     def _kernel_pos(q_ref, k_ref, v_ref, qoff, koff, o_ref, lse_ref, *scr):
         scr = list(scr)

@@ -500,3 +500,53 @@ def test_bounded_stability_matches_online(d):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("b,h,lq,lk,d", [
+    (1, 2, 512, 512, 40),     # SD1 @64² head_dim, non-pow2 scale
+    (1, 2, 640, 300, 80),     # unaligned lq AND lk (padded-K masking)
+    (1, 1, 512, 512, 64),     # pow2 scale -> host-side q prescale
+])
+def test_wide_single_pass_matches_xla(b, h, lq, lk, d):
+    """The single-pass whole-KV forward (_flash_fwd_wide, auto-routed for
+    small-d VMEM-fit shapes) ≡ XLA attention, fwd and grads (the VJP pairs
+    the wide fwd's (out, lse) residuals with the online bwd kernels)."""
+    import from_ddpm_to_stable_diffusion_tpu.ops.flash_attention as fa
+
+    q = _rand((b, h, lq, d), 10) * 0.7
+    k = _rand((b, h, lk, d), 11) * 0.7
+    v = _rand((b, h, lk, d), 12)
+    assert fa._wide_eligible(lq, lk, d, q.dtype, False, False, False)
+    got = flash_attention(q, k, v, interpret=INTERPRET)
+    want = _xla_attention(q, k, v, None, False, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    cot = _rand((b, h, lq, d), 13)
+    f = lambda *a: (flash_attention(*a, interpret=INTERPRET) * cot).sum()
+    fx = lambda *a: (_xla_attention(*a, None, False, d ** -0.5) * cot).sum()
+    got_g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    want_g = jax.grad(fx, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_wide_single_pass_matches_online_kernel():
+    """Wide path ≡ the online-softmax kernel it replaces (out AND lse —
+    the lse contract feeds the backward kernels and ring merges)."""
+    import from_ddpm_to_stable_diffusion_tpu.ops.flash_attention as fa
+
+    q, k, v = (_rand((1, 2, 512, 40), 20 + i) for i in range(3))
+    wide = fa._flash_fwd_wide(q, k, v, 40 ** -0.5, interpret=INTERPRET)
+    orig = fa._wide_enabled
+    fa._wide_enabled = False
+    try:
+        online = fa._flash_fwd(q, k, v, None, None, False, 40 ** -0.5,
+                               128, 128, interpret=INTERPRET)
+    finally:
+        fa._wide_enabled = orig
+    np.testing.assert_allclose(np.asarray(wide[0]), np.asarray(online[0]),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(wide[1]), np.asarray(online[1]),
+                               atol=2e-5, rtol=1e-4)

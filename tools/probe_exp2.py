@@ -1,11 +1,13 @@
-"""Probe: base-2 softmax (exp2 + log2e folded into the q-side prescale).
+"""Probe: softmax exponential variants in the flash kernels.
 
-Every ``exp`` on the VPU internally computes ``exp2(x * log2e)``; folding
-log2(e) into the q-side scale makes the per-logit exponential a raw exp2
-(1 of ~5 per-logit VPU ops at the per-logit-bound joint op point), and for
-non-pow2 scales (SD1's d=40) it also kills the per-logit s*scale multiply.
-This measures the SHIPPED kernels (base2 is default for bf16) against the
-natural-exp path restored by monkeypatching ``_softmax_mode``.
+Toggles ``flash_attention._softmax_mode`` and measures each arm:
+  exp   — natural-exp online softmax (per-logit s*scale mul for non-pow2
+          scales).  SHIPPED DEFAULT: measured fastest on v5e.
+  fma   — natural exp with the non-pow2 scale folded into the exp
+          argument (p = exp(s*c - m*c), one FMA) — no standalone mul.
+  exp2  — base-2 rebasing (p = exp2(s*k2 - m*k2), k2 = c*log2e).
+          Measured 0.921x (SD3 x*x) / 0.960x (SD1 @64^2): the VPU exp is
+          NOT exp2-plus-multiply in disguise; rebasing is a dead end.
 
 Run on the chip: python tools/probe_exp2.py
 """
@@ -21,12 +23,6 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/fdsd_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import from_ddpm_to_stable_diffusion_tpu.ops.flash_attention as fa  # noqa: E402
-
-
-def _natural_mode(dtype, scale, has_bias):
-    if fa._is_pow2(scale):
-        return scale, jnp.exp, False
-    return None, jnp.exp, False
 
 
 def bench_pos(q, k, v, z, scale, iters=30):
@@ -75,22 +71,20 @@ def run(tag, d, h, scale, use_pos):
         got = fa.flash_attention(q, k, v)
     err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
 
-    if use_pos:
-        t_b2 = bench_pos(q, k, v, z, scale)
-    else:
-        t_b2 = bench_fwd(q, k, v)
     orig = fa._softmax_mode
-    fa._softmax_mode = _natural_mode
+    times = {}
     try:
-        if use_pos:
-            t_nat = bench_pos(q, k, v, z, scale)
-        else:
-            t_nat = bench_fwd(q, k, v)
+        for mode in ("exp", "fma", "exp2"):
+            fa._softmax_mode = mode
+            times[mode] = (bench_pos(q, k, v, z, scale) if use_pos
+                           else bench_fwd(q, k, v))
     finally:
         fa._softmax_mode = orig
     n_logits = 2 * h * L * L
-    print(f"{tag}: natural {t_nat*1e3:.3f} ms -> base2 {t_b2*1e3:.3f} ms "
-          f"[{t_nat/t_b2:.3f}x]  ({n_logits/t_b2/1e9:.0f} Glogits/s, "
+    base = times["exp"]
+    rel = "  ".join(f"{m} {t*1e3:.3f} ms [{base/t:.3f}x]"
+                    for m, t in times.items())
+    print(f"{tag}: {rel}  ({n_logits/base/1e9:.0f} Glogits/s on exp, "
           f"max|err| vs fp32 = {err:.3e})", flush=True)
 
 

@@ -292,13 +292,16 @@ def _fwd_kernel_wide(q_ref, k_ref, v_ref, o_ref, lse_ref,
 # by Mosaic) the wide path may spend.  4096×128 bf16 k+v = 2 MiB ×2 buffers
 # leaves >10 MiB for the fp32 logit row at block_q ≤ 512.
 _WIDE_KV_BYTES = 4 * 1024 * 1024
+_WIDE_MIN_LQ = 2048    # measured (tools/probe_wide_fwd.py, v5e): wide is
+#   0.675× at (2,8,1024,80) — the shrunken block_q starves the DMA pipeline
+#   at short sequences — vs 1.008×/1.028× at the lq=4096 op points.
 _wide_enabled = True   # probe/test hook
 
 
 def _wide_eligible(lq, lk, d, dtype, has_bias, has_seg, causal):
     if not _wide_enabled or has_bias or has_seg or causal:
         return False
-    if d > 128 or lq < 512:
+    if d > 128 or lq < _WIDE_MIN_LQ:
         return False
     itemsize = jnp.dtype(dtype).itemsize
     lk_p = _cdiv(lk, 128) * 128

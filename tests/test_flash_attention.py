@@ -516,17 +516,24 @@ def test_wide_single_pass_matches_xla(b, h, lq, lk, d):
     q = _rand((b, h, lq, d), 10) * 0.7
     k = _rand((b, h, lk, d), 11) * 0.7
     v = _rand((b, h, lk, d), 12)
-    assert fa._wide_eligible(lq, lk, d, q.dtype, False, False, False)
-    got = flash_attention(q, k, v, interpret=INTERPRET)
-    want = _xla_attention(q, k, v, None, False, d ** -0.5)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=1e-4)
+    orig_min = fa._WIDE_MIN_LQ
+    fa._WIDE_MIN_LQ = 512   # keep interpret-mode shapes small
+    try:
+        assert fa._wide_eligible(lq, lk, d, q.dtype, False, False, False)
+        got = flash_attention(q, k, v, interpret=INTERPRET)
+        want = _xla_attention(q, k, v, None, False, d ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
 
-    cot = _rand((b, h, lq, d), 13)
-    f = lambda *a: (flash_attention(*a, interpret=INTERPRET) * cot).sum()
-    fx = lambda *a: (_xla_attention(*a, None, False, d ** -0.5) * cot).sum()
-    got_g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
-    want_g = jax.grad(fx, argnums=(0, 1, 2))(q, k, v)
+        cot = _rand((b, h, lq, d), 13)
+        f = lambda *a: (flash_attention(*a, interpret=INTERPRET)
+                        * cot).sum()
+        fx = lambda *a: (_xla_attention(*a, None, False,
+                                        d ** -0.5) * cot).sum()
+        got_g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        want_g = jax.grad(fx, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa._WIDE_MIN_LQ = orig_min
     for g, w in zip(got_g, want_g):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=3e-4, rtol=1e-3)

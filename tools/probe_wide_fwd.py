@@ -12,7 +12,10 @@ Run on the chip: python tools/probe_wide_fwd.py
 """
 
 import functools
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp

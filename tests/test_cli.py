@@ -225,3 +225,20 @@ def test_checks_plot_schedule(tmp_path):
     out = tmp_path / "parameters.png"
     checks.main(["tiny", "--plot-schedule", str(out)])
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_validate_real_weights_smoke():
+    """Weights-day runbook (tools/validate_real_weights.sh): the
+    CPU-reachable wiring — CLI surfaces, importer entry points, metrics
+    math — must stay green so parity closure is one command when the
+    reference's assets land (ROADMAP 'Blocked on assets')."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        ["bash", os.path.join(root, "tools", "validate_real_weights.sh"),
+         "--smoke"],
+        capture_output=True, text=True, cwd=root, timeout=600,
+        env={**os.environ, "PYTHONPATH": root})
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "smoke OK" in r.stdout

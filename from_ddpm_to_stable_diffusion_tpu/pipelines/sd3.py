@@ -272,14 +272,24 @@ class SD3Inferencer:
     (sd3_infer.py:383-405)."""
 
     def __init__(self, models: SD3Models, shift: float = 3.0,
-                 tokenizer=None, mesh=None):
+                 tokenizer=None, mesh=None, decode_mode: str = "auto"):
         """``tokenizer``: an ``io.spm_tokenizer.SD3Tokenizer`` (CLIP + T5
         trio). Required for the text-prompt entry points only.
 
         ``mesh``: tensor-parallel serving — MMDiT/CLIP/T5 attention and
         MLP kernels shard over the mesh ``model`` axis
         (parallel.sharding rules); GSPMD inserts the psums over ICI.
+
+        ``decode_mode``: ``"whole"`` decodes per image through one jitted
+        whole-image program; ``"tiled"`` uses the streamed row-strip
+        decoder (models/sd3_vae_tiled.py — bounded live set, whole batch
+        at once); ``"auto"`` picks tiled for batch > 1 at ≥ 1024² where
+        the whole-image ladder would exhaust HBM next to all-resident
+        params (docs/SERVING_CURVE.md).
         """
+        if decode_mode not in ("auto", "whole", "tiled"):
+            raise ValueError(f"unknown decode_mode {decode_mode!r}")
+        self.decode_mode = decode_mode
         if mesh is not None:
             from ..parallel.sharding import apply_tp
 
@@ -453,14 +463,32 @@ class SD3Inferencer:
             self._denoise_cache[key] = fn
         return fn(m.params["mmdit"], x, ctx, pld)
 
-    def vae_decode(self, latent) -> np.ndarray:
-        """Decode latents → uint8. Batches decode PER IMAGE (the reference
-        does too, sd3_infer.py:400-403): at 1024² the decoder's activation
-        ladder is ~GiB-scale per image, and a batched decode at the
+    def vae_decode(self, latent, mode: Optional[str] = None) -> np.ndarray:
+        """Decode latents → uint8.
+
+        ``"whole"`` decodes per image (the reference does too,
+        sd3_infer.py:400-403): at 1024² the decoder's activation ladder is
+        ~GiB-scale per image, and a batched whole-image decode at the
         all-resident op point (params ~9.5 GiB) exhausts HBM at batch ≥ 4
-        — while per-image chunks reuse the batch-1 executable and the
-        same activation buffers."""
+        — per-image chunks reuse the batch-1 executable and buffers.
+        ``"tiled"`` streams the SAME params through row-strip programs
+        (models/sd3_vae_tiled.py) whose live set is two full bf16 buffers
+        + one strip workspace — exact, and decodes the whole batch without
+        per-image serialization."""
         m = self.models
+        mode = mode or self.decode_mode
+        b = int(latent.shape[0])
+        if mode == "tiled" or (mode == "auto" and b > 1
+                               and latent.shape[1] >= 128):
+            from ..models.sd3_vae_tiled import tiled_decode
+
+            d = m.vae_decoder
+            img = tiled_decode(
+                m.params["vae_decoder"], SD3LatentFormat.process_out(latent),
+                ch=d.ch, ch_mult=tuple(d.ch_mult),
+                num_res_blocks=d.num_res_blocks,
+                out_channels=d.out_channels, dtype=d.dtype)
+            return np.asarray(jax.jit(to_uint8)(img))
         key = ((1,) + tuple(latent.shape[1:]), id(m.vae_decoder))
         fn = self._decode_cache.get(key)
         if fn is None:

@@ -79,3 +79,29 @@ def test_tiled_decode_accepts_wrapped_params():
     got = tiled_decode({"params": params}, z, ch=32, ch_mult=(1, 2, 4, 4),
                        num_res_blocks=2, dtype=jnp.float32, strip=16)
     assert got.shape == (2, 32, 32, 3)
+
+
+def test_inferencer_vae_decode_tiled_matches_whole():
+    """Pipeline wiring: SD3Inferencer.vae_decode(mode="tiled") must agree
+    with the per-image whole decode (uint8, off-by-one fp budget)."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import (
+        SD3Inferencer, SD3Models)
+    from from_ddpm_to_stable_diffusion_tpu.models.text_encoders import (
+        CLIPTextConfig, T5Config)
+
+    models = SD3Models.initialize(
+        jax.random.key(0), dtype="fp32", depth=2, pos_embed_max_size=16,
+        with_t5=False,
+        clip_l_cfg=CLIPTextConfig(vocab_size=64, hidden_size=768,
+                                  num_layers=2, num_heads=4),
+        clip_g_cfg=CLIPTextConfig(vocab_size=64, hidden_size=1280,
+                                  num_layers=2, num_heads=4,
+                                  hidden_act="gelu"))
+    inf = SD3Inferencer(models, shift=3.0)
+    latent = jax.random.normal(jax.random.key(3), (2, 8, 8, 16)) * 0.5
+    whole = inf.vae_decode(latent, mode="whole")
+    tiled = inf.vae_decode(latent, mode="tiled")
+    assert whole.shape == tiled.shape == (2, 64, 64, 3)
+    assert whole.dtype == tiled.dtype == np.uint8
+    diff = np.abs(whole.astype(np.int32) - tiled.astype(np.int32))
+    assert diff.max() <= 1, diff.max()

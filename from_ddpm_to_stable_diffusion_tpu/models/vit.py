@@ -57,8 +57,14 @@ class ViT(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        """x: (B, H, W, 3) -> logits (B, num_classes)."""
+    def __call__(self, x, deterministic: bool = True,
+                 return_features: bool = False):
+        """x: (B, H, W, 3) -> logits (B, num_classes).
+
+        ``return_features=True`` returns the penultimate representation
+        instead — the post-``ln_final`` CLS vector (B, dim) — used as the
+        KID/FID featurizer when no pretrained InceptionV3/CLIP exists in
+        the environment (utils/metrics.py consumers, QUALITY.md)."""
         assert self.image_size % self.patch_size == 0
         p = self.patch_size
         b = x.shape[0]
@@ -81,5 +87,7 @@ class ViT(nn.Module):
                          dtype=self.dtype, name=f"block{i}")(h, deterministic)
 
         h = LayerNorm(name="ln_final")(h[:, 0])
+        if return_features:
+            return h.astype(jnp.float32)
         return nn.Dense(self.num_classes, dtype=jnp.float32,
                         name="head")(h.astype(jnp.float32))

@@ -96,11 +96,15 @@ def sd3_batched(batch_sizes=(1, 2)):
     return rows
 
 
-def sd3_int8_e2e_curve(batch_sizes=(1, 2, 4), steps=50):
+def sd3_int8_e2e_curve(batch_sizes=(1, 2, 4), steps=50, decode="auto"):
     """ALL-RESIDENT int8 SD3-medium END TO END (text encode → 50-step
     denoise → VAE decode) at image batch sizes — the serving mode
     docs/SD3_16GB.md establishes. Full scale (T5-XXL incl.), random
-    weights, token-id entry (no tokenizer assets in this image)."""
+    weights, token-id entry (no tokenizer assets in this image).
+
+    ``decode``: "whole" = per-image whole-image programs (the round-4
+    mode), "tiled" = streamed row-strip decode of the whole batch,
+    "auto" = tiled for batch > 1 at 1024²."""
     import numpy as np
 
     from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import (
@@ -110,7 +114,7 @@ def sd3_int8_e2e_curve(batch_sizes=(1, 2, 4), steps=50):
     models = SD3Models.initialize(jax.random.key(0), dtype="bf16",
                                   depth=24, pos_embed_max_size=192,
                                   int8=True)
-    inf = SD3Inferencer(models, shift=3.0)
+    inf = SD3Inferencer(models, shift=3.0, decode_mode=decode)
     print(f"[curve] sd3 int8 full-scale init: {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
     rng = np.random.default_rng(1)
@@ -134,6 +138,68 @@ def sd3_int8_e2e_curve(batch_sizes=(1, 2, 4), steps=50):
               f"{lat:.2f} s/batch (compile {compile_s:.0f}s)",
               file=sys.stderr)
     return rows
+
+
+def sd3_load_test(rps=0.1, duration_s=420, buckets=(1, 2), steps=50):
+    """p50/p95 under Poisson load against the int8 ALL-RESIDENT SD3
+    backend (docs/SD3_16GB.md mode) through the DynamicBatcher. Offered
+    ~0.1 rps sits just below the measured bs1 service rate (0.117
+    imgs/s, docs/SERVING_CURVE.md) — queueing is real, and bucket-2
+    coalescing (batched denoise + tiled batched decode) provides the
+    headroom that keeps the system stable."""
+    import random as _random
+
+    import numpy as np
+
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd3 import (
+        SD3Inferencer, SD3Models)
+    from from_ddpm_to_stable_diffusion_tpu.serving.batcher import (
+        DynamicBatcher, GenerateRequest)
+
+    t0 = time.perf_counter()
+    models = SD3Models.initialize(jax.random.key(0), dtype="bf16",
+                                  depth=24, pos_embed_max_size=192,
+                                  int8=True)
+    inf = SD3Inferencer(models, shift=3.0)  # decode auto → tiled at b>1
+    print(f"[sd3-load] int8 full-scale init: {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    idrng = np.random.default_rng(1)
+
+    def generate_fn(prompts, negatives, seeds):
+        b = len(prompts)
+        ids = lambda hi: idrng.integers(0, hi, (b, 77)).astype(np.int32)
+        return np.asarray(inf.gen_image(
+            ids(49408), t5_tokens=ids(32128), clip_g_tokens=ids(49408),
+            width=1024, height=1024, steps=steps, cfg_scale=5.0,
+            per_sample_seeds=[int(s) if s is not None else 0
+                              for s in seeds]))
+
+    batcher = DynamicBatcher(generate_fn, buckets=buckets)
+    t0 = time.perf_counter()
+    batcher.warmup(prompt="x")
+    print(f"[sd3-load] warmup (all buckets compiled): "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
+
+    rnd = _random.Random(0)
+    futs = []
+    t_end = time.monotonic() + duration_s
+    n = 0
+    while time.monotonic() < t_end:
+        futs.append(batcher.submit(GenerateRequest(prompt="x", seed=n)))
+        n += 1
+        time.sleep(rnd.expovariate(rps))
+    t0 = time.perf_counter()
+    for f in futs:
+        f.result(timeout=1200)
+    drain = time.perf_counter() - t0
+    m = batcher.metrics()
+    batcher.shutdown()
+    m["offered_rps"] = rps
+    m["duration_s"] = duration_s
+    m["drain_s"] = round(drain, 1)
+    m["throughput_imgs_s"] = round(m["served"] / (duration_s + drain), 4)
+    print(f"[sd3-load] {m}", file=sys.stderr)
+    return m
 
 
 def sd1_load_test(rps=1.1, duration_s=90, buckets=(1, 2, 4, 8)):
@@ -192,8 +258,15 @@ def main():
     ap.add_argument("--skip-sd3", action="store_true")
     ap.add_argument("--sd3-e2e", action="store_true",
                     help="full-scale int8 all-resident SD3 end-to-end curve")
+    ap.add_argument("--decode", default="auto",
+                    choices=("auto", "whole", "tiled"),
+                    help="VAE decode mode for --sd3-e2e")
+    ap.add_argument("--sd3-bs", type=int, nargs="*", default=None,
+                    help="batch sizes for --sd3-e2e (default 1 2 4)")
     ap.add_argument("--load", action="store_true",
                     help="SD1 Poisson load test through the DynamicBatcher")
+    ap.add_argument("--sd3-load", action="store_true",
+                    help="SD3 int8 all-resident Poisson load test")
     args = ap.parse_args()
     print(f"[curve] devices: {jax.devices()}", file=sys.stderr)
     if not args.skip_sd1:
@@ -209,11 +282,21 @@ def main():
         for bs, ms, per, _ in sd3:
             print(f"| {bs} | {ms:.1f} | {per:.1f} |")
     if args.sd3_e2e:
-        rows = sd3_int8_e2e_curve()
-        print("\n| SD3 int8 e2e batch | imgs/s/chip | s/batch |")
+        rows = sd3_int8_e2e_curve(batch_sizes=tuple(args.sd3_bs or (1, 2, 4)),
+                                  decode=args.decode)
+        print(f"\n| SD3 int8 e2e batch (decode={args.decode}) "
+              f"| imgs/s/chip | s/batch |")
         print("|---|---|---|")
         for bs, ips, lat, _ in rows:
             print(f"| {bs} | {ips:.4f} | {lat:.2f} |")
+    if args.sd3_load:
+        m = sd3_load_test()
+        print(f"\nSD3 int8 load test @ {m['offered_rps']} rps Poisson: "
+              f"{m['throughput_imgs_s']} imgs/s served, "
+              f"p50 {m.get('latency_ms_p50', 0)/1e3:.2f} s, "
+              f"p95 {m.get('latency_ms_p95', 0)/1e3:.2f} s, "
+              f"mean real batch "
+              f"{m['batched_requests'] / max(1, m['batches']):.2f}")
     if args.load:
         m = sd1_load_test()
         print(f"\nSD1 load test @ {m['offered_rps']} rps Poisson: "

@@ -62,7 +62,11 @@ def main(argv=None):
     ap.add_argument("--n-eval", type=int, default=768,
                     help="held-out reals AND generated samples per side")
     ap.add_argument("--ddpm-epochs", type=int, default=60)
-    ap.add_argument("--vit-epochs", type=int, default=4)
+    ap.add_argument("--vit-epochs", type=int, default=16)
+    ap.add_argument("--sample-chunk", type=int, default=32,
+                    help="sampling batch per scan launch (the bs128 "
+                    "T=1000 executable crashes the relay TPU worker; "
+                    "32 is measured-safe and compile-cached)")
     ap.add_argument("--out", default=None, help="markdown report path")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args(argv)
@@ -72,6 +76,10 @@ def main(argv=None):
 
     import jax
     import numpy as np
+
+    # survive relay restarts: warm executables come from the disk cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fdsd_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from from_ddpm_to_stable_diffusion_tpu.io.data import DataLoader
     from from_ddpm_to_stable_diffusion_tpu.io.shapes_dataset import (
@@ -130,8 +138,8 @@ def main(argv=None):
     loader = DataLoader(train_ds, sd_cfg.batch_size, seed=1)
     state0 = trainer.create_state(steps_per_epoch=len(loader))
 
-    def sample_n(state, n, chunk=128):
-        chunk = min(chunk, n)
+    def sample_n(state, n, chunk=None):
+        chunk = min(chunk or args.sample_chunk, n)
         labels = (np.arange(n) % 3) + 1  # 1-based; 0 = uncond
         outs = []
         for s in range(0, n, chunk):

@@ -160,7 +160,11 @@ def sd3_load_test(rps=0.1, duration_s=420, buckets=(1, 2), steps=50):
     models = SD3Models.initialize(jax.random.key(0), dtype="bf16",
                                   depth=24, pos_embed_max_size=192,
                                   int8=True)
-    inf = SD3Inferencer(models, shift=3.0)  # decode auto → tiled at b>1
+    # decode_mode="tiled" at EVERY batch: with both bucket executables
+    # resident alongside the ~9.5 GiB params, even the b=1 whole-image
+    # decode ladder OOMs 16 GB; the row-strip decoder's bounded live set
+    # is the right default for the all-resident serving mode.
+    inf = SD3Inferencer(models, shift=3.0, decode_mode="tiled")
     print(f"[sd3-load] int8 full-scale init: {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
     idrng = np.random.default_rng(1)

@@ -252,11 +252,17 @@ class SD1Generator:
     tests); production serving wants the CLIP encode, the denoise step, and
     the VAE decode compiled ONCE and reused across requests. This wrapper
     pins the op point (size, steps, sampler, CFG) at construction, jits the
-    three stages, and drives the sampler from a host loop with a donated
-    carry — the full trajectory never enters one giant XLA program, so
-    first-call compile stays minutes-not-hours on the v5e remote-compile
-    tunnel while steady-state throughput matches the scan (per-step
-    dispatch ≈0.1ms against a ~20ms step).
+    three stages, and drives the sampler either from a host loop with a
+    donated carry (``loop="steps"``, per-step dispatch ≈0.1ms against a
+    ~20ms step) or as ONE jitted ``lax.scan`` over the whole trajectory
+    (``loop="trajectory"``).
+
+    The trajectory mode is safe because params are runtime ARGUMENTS of
+    the jitted program: ``tools/probe_traj_compile.py`` measured the
+    860M-UNet 50-step scan compiling in ~31s that way, flat in step count
+    — the historical ">45-min compile" pathology is specific to closing
+    over the 1.7GB param tree as HLO constants (``generate()``'s shape),
+    not to the scan itself.
 
     Same public contract as reference pipeline.py:11-207 generate(),
     restricted to txt2img.
@@ -266,7 +272,11 @@ class SD1Generator:
                  sampler: str = "k_lms", n_inference_steps: int = 50,
                  do_cfg: bool = True, cfg_scale: float = 7.5,
                  height: int = 512, width: int = 512,
-                 prompt_weighting: bool = False, mesh=None):
+                 prompt_weighting: bool = False, mesh=None,
+                 loop: str = "steps"):
+        if loop not in ("steps", "trajectory"):
+            raise ValueError(f"unknown loop value {loop!r}")
+        self.loop = loop
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler value {sampler!r}")
         if height % 8 or width % 8:
@@ -361,6 +371,34 @@ class SD1Generator:
             self._step_cache[key] = jax.jit(body, donate_argnums=1)
         return self._step_cache[key]
 
+    def _get_traj_for(self, batch: int, cfg, tables):
+        """The whole denoise loop as ONE jitted scan:
+        (unet_params, carry) → carry, same carry layout as ``_get_step_for``
+        so the two loop modes share construction/extraction code. Params
+        stay runtime arguments (constant-capture is the compile pathology —
+        see class docstring); the carry is donated."""
+        key = ("traj", batch, tables["start_step"])
+        if key not in self._step_cache:
+            n_scan = cfg.n_inference_steps - tables["start_step"]
+
+            def traj(unet_params, carry):
+                inner, ctx, k, t = carry
+                sampler_body, _, _ = make_sampler_body(
+                    lambda x, tt: self._denoise_fn(unet_params, x, tt, ctx),
+                    cfg, rng=k, tables=tables)
+
+                def body(c, _):
+                    inner, t = c
+                    inner, _ = sampler_body(inner, t)
+                    return (inner, t + 1), None
+
+                (inner, t), _ = jax.lax.scan(body, (inner, t), None,
+                                             length=n_scan)
+                return (inner, ctx, k, t)
+
+            self._step_cache[key] = jax.jit(traj, donate_argnums=1)
+        return self._step_cache[key]
+
     def __call__(self, prompts: Sequence[str],
                  uncond_prompts: Optional[Sequence[str]] = None,
                  seed: Optional[int] = None,
@@ -441,9 +479,12 @@ class SD1Generator:
             lambda x, t: x, cfg, rng=anc_key, tables=tables)
         carry = (make_carry(latents), context, anc_key,
                  jnp.int32(tables["start_step"]))
-        step = self._get_step_for(b, cfg, tables)
         unet_params = self.models.params["unet"]
-        for _ in range(tables["start_step"], cfg.n_inference_steps):
-            carry = step(unet_params, carry)
+        if self.loop == "trajectory":
+            carry = self._get_traj_for(b, cfg, tables)(unet_params, carry)
+        else:
+            step = self._get_step_for(b, cfg, tables)
+            for _ in range(tables["start_step"], cfg.n_inference_steps):
+                carry = step(unet_params, carry)
         return np.asarray(self._decode(self.models.params["decoder"],
                                        extract(carry[0])))

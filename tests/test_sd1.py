@@ -130,6 +130,23 @@ def test_sd1_generator_matches_generate(fake_models, sampler):
     np.testing.assert_array_equal(gen(["a cat"], seed=7), got)
 
 
+@pytest.mark.parametrize("sampler", ["k_lms", "k_euler_ancestral"])
+def test_sd1_generator_trajectory_loop(fake_models, sampler):
+    """loop="trajectory" (whole denoise loop as ONE jitted scan, params as
+    runtime args) must reproduce the per-step dispatch loop exactly —
+    same sampler math, only the compile-unit boundary differs."""
+    from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import SD1Generator
+
+    kw = dict(sampler=sampler, n_inference_steps=4, height=64, width=64)
+    want = SD1Generator(fake_models, **kw)(["a cat"], seed=3)
+    got = SD1Generator(fake_models, loop="trajectory", **kw)(["a cat"],
+                                                             seed=3)
+    np.testing.assert_allclose(got.astype(np.int16), want.astype(np.int16),
+                               atol=1)
+    with pytest.raises(ValueError):
+        SD1Generator(fake_models, loop="bogus", **kw)
+
+
 def test_generate_img2img(fake_models):
     from from_ddpm_to_stable_diffusion_tpu.pipelines.sd1 import generate
 

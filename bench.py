@@ -201,25 +201,24 @@ def bench_sd3_denoise_step(iters: int = 10, int8: bool = False):
     return ms
 
 
-# Last on-chip measured numbers (1× TPU v5e), round-4 session run of this
-# exact script (2026-08-18) — includes the round-3 kernel fast paths
-# (pow2 q-tile prescale + no-mask) that were pending measurement. Served
-# with ``stale: true`` whenever the relay is down so a dead relay never
-# again leaves a BENCH_rN with no usable value.
+# Last on-chip measured numbers (1× TPU v5e), the driver's round-4 run of
+# this exact script (2026-08-19, BENCH_r04.json). Served with
+# ``stale: true`` whenever the relay is down so a dead relay never again
+# leaves a BENCH_rN with no usable value.
 LAST_KNOWN_GOOD = {
     "metric": "sd1_pipeline_imgs_per_sec_512px_50step_cfg_bf16",
-    "value": 0.8939,
+    "value": 0.9392,
     "unit": "imgs/sec/chip",
     "vs_baseline": None,
     "stale": True,
     "extra": {
-        "sd1_denoise_step_ms": 20.64,
-        "sd1_pipeline_bs4_imgs_per_sec": 1.0959,
-        "sd1_pipeline_bs8_imgs_per_sec": 1.0925,
-        "sd3_medium_denoise_step_ms_1024px_cfg_bf16": 185.05,
-        "sd3_medium_denoise_step_ms_1024px_cfg_int8": 164.62,
-        "tiny_sd_train_imgs_per_sec": 377.13,
-        "tiny_sd_train_step_ms": 84.85,
+        "sd1_denoise_step_ms": 20.29,
+        "sd1_pipeline_bs4_imgs_per_sec": 1.1514,
+        "sd1_pipeline_bs8_imgs_per_sec": 1.1801,
+        "sd3_medium_denoise_step_ms_1024px_cfg_bf16": 184.52,
+        "sd3_medium_denoise_step_ms_1024px_cfg_int8": 163.69,
+        "tiny_sd_train_imgs_per_sec": 379.31,
+        "tiny_sd_train_step_ms": 84.36,
     },
 }
 
@@ -254,8 +253,8 @@ def _device_watchdog(timeout_s: float = 300.0):
         out["error"] = (f"no fresh TPU measurement possible: {cause}; "
                         "value is the last on-chip measurement (see "
                         "'stale_source')")
-        out["stale_source"] = ("round-4 on-chip session run of bench.py "
-                               "(2026-08-18)")
+        out["stale_source"] = ("round-4 driver run of bench.py "
+                               "(2026-08-19, BENCH_r04.json)")
         print(json.dumps(out))
         sys.exit(0)
     return devs
